@@ -1,0 +1,519 @@
+"""Pure per-document extraction core — NO Spark imports.
+
+These functions are the single source of truth for extraction semantics.
+The golden reference corpus (``goldenref.py``, single-threaded driver loop)
+and the distributed Arrow-batched UDF stages (``operators/*``) both call
+them, which is what makes byte-identical-output-per-url achievable and
+*testable* under any partitioning.
+
+Semantics re-expressed from the reference (file:line cites into
+``/root/reference/``):
+
+- fast path  = block segmentation + text-density/link-density boilerplate
+  classification (the cheap local extractor slot, analog of
+  ``backends/easyocr_backend.py:86-162``; heuristic family is the published
+  Boilerpipe approach, Kohlschütter et al. WSDM'10);
+- precise path = full DOM tree + best-content-subtree scoring + rule cascade
+  (the expensive high-accuracy slot, analog of
+  ``backends/gemini_backend.py:249-343`` — here deterministic and local);
+- PDF branch = column detection + reading-order reconstruction
+  (``backends/marker_backend.py:89-206`` analog);
+- validation  = ``gemini_backend.py:364-398`` (_validate_response);
+- confidence  = ``marker_backend.py:208-233`` (_estimate_confidence);
+- critical-pattern detector = ``backends/mantra_detector.py:133-238``
+  scoring cascade (pattern families → max-score combine → recommendation);
+- hybrid routing = ``backends/hybrid_backend.py:144-218``.
+
+Everything is a pure function of the row's bytes: no wall clock, no RNG, no
+cross-row state. That purity is the load-bearing property for byte-identity
+under repartitioning (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+CONFIDENCE_THRESHOLD = 0.85      # hybrid_backend.py:45 / base.py:34-37
+MIN_VALID_LENGTH = 20            # gemini_backend.py:115
+
+PDF_MAGIC = b"FPDF1\n"
+
+SKIP_TAGS = frozenset(
+    "script style noscript template svg head title iframe object".split())
+SECTION_DROP_TAGS = frozenset("nav header footer aside form".split())
+CLASS_DROP_TOKENS = frozenset(
+    "ad ads advert advertisement banner cookie promo comment comments "
+    "sidebar share social related widget breadcrumb disclaimer".split())
+BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li pre blockquote td th div section article "
+    "main table ul ol tr dl dt dd figure figcaption body".split())
+VOID_TAGS = frozenset("br img meta link input hr area base col embed "
+                      "source track wbr".split())
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+LINK_DENSITY_MAX = 0.35          # fast-path boilerplate threshold
+SHORT_LINKY_CHARS = 25           # short blocks that contain links are chrome
+
+_CLASS_SPLIT = re.compile(r"[\s_\-]+")
+
+
+def canon(s: str) -> str:
+    """Canonical whitespace: collapse runs to a single space, strip."""
+    return " ".join(s.split())
+
+
+def _has_drop_class(attrs) -> bool:
+    for k, v in attrs:
+        if k in ("class", "id") and v:
+            for tok in _CLASS_SPLIT.split(v.lower()):
+                if tok in CLASS_DROP_TOKENS:
+                    return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Block model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Block:
+    tag: str
+    parts: list = field(default_factory=list)
+    anchor_chars: int = 0
+    n_links: int = 0
+    dropped: bool = False        # inside nav/header/footer/aside/drop-class
+
+    def text(self) -> str:
+        return canon("".join(self.parts))
+
+
+class _BlockParser(HTMLParser):
+    """Streaming flat block segmenter (the fast path's tokenizer)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._cur = Block(tag="body")
+        self._skip = 0           # script/style/… depth
+        self._drop = 0           # boilerplate-section depth
+        self._drop_stack: list[str] = []
+        self._anchor = 0         # <a> nesting depth
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self, next_tag: str = "body"):
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = Block(tag=next_tag, dropped=self._drop > 0)
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        dropping = tag in SECTION_DROP_TAGS or _has_drop_class(attrs)
+        if dropping and tag not in VOID_TAGS:
+            self._flush(tag)
+            self._drop += 1
+            self._drop_stack.append(tag)
+            self._cur.dropped = True
+            return
+        if tag == "a":
+            self._anchor += 1
+            self._cur.n_links += 1
+        if tag in BLOCK_TAGS:
+            self._flush(tag)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._drop_stack and tag == self._drop_stack[-1]:
+            self._flush()
+            self._drop_stack.pop()
+            self._drop = len(self._drop_stack)
+            self._cur.dropped = self._drop > 0
+            return
+        if tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        self._cur.parts.append(data)
+        if self._anchor:
+            self._cur.anchor_chars += len(canon(data))
+
+    def result(self) -> list[Block]:
+        self._flush()
+        return self.blocks
+
+
+def segment_blocks(html_str: str) -> list[Block]:
+    p = _BlockParser()
+    try:
+        p.feed(html_str)
+        p.close()
+    except Exception:
+        pass                      # malformed input: keep whatever parsed
+    return p.result()
+
+
+def _keep_fast(b: Block) -> bool:
+    """Fast-path block classifier (text-density / link-density heuristic)."""
+    if b.dropped:
+        return False
+    t = b.text()
+    n = len(t)
+    if n == 0:
+        return False
+    if b.n_links:
+        if b.anchor_chars / n > LINK_DENSITY_MAX:
+            return False
+        if n < SHORT_LINKY_CHARS:
+            return False
+    return True
+
+
+def fast_extract_html(html_str: str) -> tuple[str, dict]:
+    """Fast path: segment → classify → canonical join.
+
+    Returns (text, stats) where stats feed confidence + lineage histograms.
+    """
+    blocks = segment_blocks(html_str)
+    kept = [b for b in blocks if _keep_fast(b)]
+    texts = [b.text() for b in kept]
+    texts = [t for t in texts if t]
+    total_blocks = sum(1 for b in blocks if b.text())
+    stats = {
+        "blocks_total": total_blocks,
+        "blocks_kept": len(texts),
+    }
+    return "\n".join(texts), stats
+
+
+# ---------------------------------------------------------------------------
+# Precise path: full DOM tree, best-content-subtree scoring, rule cascade.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Node:
+    tag: str
+    attrs: list = field(default_factory=list)
+    children: list = field(default_factory=list)   # Node | str
+
+
+class _TreeParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("document")
+        self._stack = [self.root]
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        node = Node(tag, attrs)
+        self._stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        self._stack[-1].children.append(data)
+
+
+def parse_tree(html_str: str) -> Node:
+    p = _TreeParser()
+    try:
+        p.feed(html_str)
+        p.close()
+    except Exception:
+        pass
+    return p.root
+
+
+def _subtree_stats(node: Node) -> tuple[int, int]:
+    """(text_chars, anchor_chars) of a subtree, drop-sections zeroed."""
+    if node.tag in SECTION_DROP_TAGS or _has_drop_class(node.attrs):
+        return 0, 0
+    text_c = anchor_c = 0
+    for ch in node.children:
+        if isinstance(ch, str):
+            text_c += len(canon(ch))
+        else:
+            t, a = _subtree_stats(ch)
+            text_c += t
+            if ch.tag == "a":
+                a = t
+            anchor_c += a
+    return text_c, anchor_c
+
+
+_CANDIDATE_TAGS = frozenset("article main section div body".split())
+
+
+def _best_content_root(root: Node) -> Node:
+    """Highest text_chars × (1 − link_density) among candidate containers."""
+    best, best_score = root, -1.0
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for ch in n.children:
+            if isinstance(ch, Node):
+                stack.append(ch)
+        if n.tag in _CANDIDATE_TAGS:
+            t, a = _subtree_stats(n)
+            if t == 0:
+                continue
+            score = t * (1.0 - min(1.0, a / t))
+            if score > best_score:
+                best, best_score = n, score
+    return best
+
+
+def _emit_blocks(node: Node, out: list, cur: list, dropped: bool):
+    """Serialize a subtree back to flat blocks (precise-path cascade)."""
+    is_dropped = dropped or node.tag in SECTION_DROP_TAGS or _has_drop_class(
+        node.attrs)
+    for ch in node.children:
+        if isinstance(ch, str):
+            if not is_dropped:
+                cur.append(ch)
+            continue
+        if ch.tag in BLOCK_TAGS or ch.tag in SECTION_DROP_TAGS:
+            if cur:
+                out.append(canon("".join(cur)))
+                cur.clear()
+            _emit_blocks(ch, out, cur, is_dropped)
+            if cur:
+                out.append(canon("".join(cur)))
+                cur.clear()
+        else:
+            _emit_blocks(ch, out, cur, is_dropped)
+
+
+def precise_extract_html(html_str: str) -> str:
+    """Precise path: DOM tree → best content subtree → block cascade.
+
+    The precedence-ordered cascade (mirrors the reference's detector cascade
+    structure, mantra_detector.py:133-238): (1) drop-listed sections/classes
+    are removed; (2) the best content container is selected by subtree
+    text-density score; (3) blocks inside it are kept unless link-dominated
+    (stricter threshold than the fast path, since we already scoped to the
+    content root).
+    """
+    root = parse_tree(html_str)
+    content = _best_content_root(root)
+    out: list[str] = []
+    cur: list[str] = []
+    _emit_blocks(content, out, cur, False)
+    if cur:
+        out.append(canon("".join(cur)))
+    texts = [t for t in out if t]
+    # Rule cascade step 3: inside the content root almost everything is
+    # content; drop only pure link lists (detected lexically: very short
+    # repeated nav words is the fast path's job — here we trust the scope).
+    return "\n".join(texts)
+
+
+# ---------------------------------------------------------------------------
+# PDF-like layout branch (F1b): column detection + reading order.
+# ---------------------------------------------------------------------------
+
+COLUMN_QUANTUM = 160             # x-center clustering pitch (px)
+
+
+def is_pdf_payload(payload: bytes) -> bool:
+    return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+def extract_pdf(payload: bytes) -> str:
+    """Column detection (x-quantized) + reading order (col → y), per page."""
+    try:
+        doc = json.loads(payload[len(PDF_MAGIC):].decode("utf-8"))
+    except Exception:
+        return ""
+    lines: list[str] = []
+    for page in sorted(doc.get("pages", []), key=lambda p: p.get("page", 0)):
+        blocks = page.get("blocks", [])
+        ordered = sorted(
+            blocks, key=lambda b: (int(b.get("x", 0)) // COLUMN_QUANTUM,
+                                   b.get("y", 0)))
+        lines.extend(canon(b.get("text", "")) for b in ordered)
+    return "\n".join(t for t in lines if t)
+
+
+# ---------------------------------------------------------------------------
+# Validation predicate (P2 — gemini_backend.py:364-398)
+# ---------------------------------------------------------------------------
+
+ERROR_PATTERNS = (
+    "cannot process", "unable to", "i can't", "i cannot", "no text",
+    "error occurred", "not readable", "failed to", "as an ai",
+    "i'm sorry", "sorry,", "no content", "blank page",
+)
+_ALNUM_RE = re.compile(r"[^\W_]", re.UNICODE)   # any letter or digit
+
+
+def validate_text(text: str) -> tuple[bool, str | None]:
+    """Mirror of _validate_response: floor length, error patterns, alnum."""
+    t = text.strip()
+    if len(t) < MIN_VALID_LENGTH:
+        return False, "too_short"
+    head = t[:300].lower()
+    for pat in ERROR_PATTERNS:
+        if pat in head:
+            return False, "error_pattern"
+    if not _ALNUM_RE.search(t):
+        return False, "no_alnum"
+    return True, None
+
+
+# ---------------------------------------------------------------------------
+# Confidence estimation (P5 — marker_backend.py:208-233)
+# ---------------------------------------------------------------------------
+
+_GARBLED_RE = re.compile(r"[^\w\s]{5,}", re.UNICODE)
+
+
+def estimate_confidence(text: str) -> float:
+    """max(0.5, 1 − 0.15·issues); issues ∈ {garbled-run, short, low-letter}."""
+    issues = 0
+    if _GARBLED_RE.search(text):
+        issues += 1
+    if len(text) < 50:
+        issues += 1
+    n = len(text)
+    if n > 0:
+        letters = sum(1 for c in text if c.isalpha())
+        if letters / n < 0.3:
+            issues += 1
+    else:
+        issues += 1
+    return max(0.5, 1.0 - 0.15 * issues)
+
+
+# ---------------------------------------------------------------------------
+# Critical-content detector (M6 — mantra_detector.py:133-238 analog)
+# ---------------------------------------------------------------------------
+
+_VERSE_RE = re.compile(r"॥\s*\d+\s*॥")
+_BIJA_RE = re.compile(r"(ॐ|स्वाहा|श्लोक)")
+_CODE_RE = re.compile(r"(def |return |function\s*\(|;\s*\}|class\s+\w+\s*[:{])")
+_NUMTABLE_RE = re.compile(r"\b\d{3,}\b")
+
+CRITICAL_FAMILIES = ("verse", "bija", "code", "numeric_table")
+
+
+def detect_critical(text: str) -> tuple[bool, float, dict]:
+    """Pattern-family scoring cascade → (flag, confidence, per-family hits).
+
+    Mirrors the reference's combine rule: per-family fixed scores, combined =
+    max(scores) × (1 + min(n_families−1, 5)·0.05), capped at 1.0; flagged when
+    combined ≥ 0.6 (mantra_detector.py:204-230).
+    """
+    hits = {}
+    scores = []
+    n = len(_VERSE_RE.findall(text))
+    if n:
+        hits["verse"] = n
+        scores.append(0.8)
+    n = len(_BIJA_RE.findall(text))
+    if n:
+        hits["bija"] = n
+        scores.append(0.9)
+    n = len(_CODE_RE.findall(text))
+    if n:
+        hits["code"] = n
+        scores.append(0.75)
+    n = len(_NUMTABLE_RE.findall(text))
+    if n >= 6:
+        hits["numeric_table"] = n
+        scores.append(0.7)
+    if not scores:
+        return False, 0.0, hits
+    combined = min(1.0, max(scores) * (1 + min(len(scores) - 1, 5) * 0.05))
+    return combined >= 0.6, combined, hits
+
+
+# ---------------------------------------------------------------------------
+# Full per-document pipeline (the hybrid route, M5 — hybrid_backend.py:144-218)
+# ---------------------------------------------------------------------------
+
+RESULT_FIELDS = ("url", "text", "success", "confidence", "error",
+                 "backend_used", "needs_verification", "rule_hits")
+
+
+def extract_document(url: str, payload: bytes,
+                     threshold: float = CONFIDENCE_THRESHOLD) -> dict:
+    """The per-row pure function: route → extract → validate → escalate.
+
+    Deterministic two-pass semantics (identical to the distributed plan in
+    ``operators/hybrid.py``, which is what byte-identity tests pin down):
+
+    1. PDF payloads go to the layout branch (backend_used='pdf').
+    2. Fast extract; compute confidence + critical flags.
+    3. Escalate iff invalid OR low-confidence OR critical → precise extract.
+    4. Escalated rows take the precise text when it validates, else fall back
+       to the fast text (hybrid_backend.py:207-211 — here deterministic).
+    """
+    if is_pdf_payload(payload):
+        text = extract_pdf(payload)
+        ok, err = validate_text(text)
+        return {
+            "url": url, "text": text, "success": ok,
+            "confidence": 1.0 if ok else 0.5, "error": err,
+            "backend_used": "pdf", "needs_verification": False,
+            "rule_hits": {},
+        }
+
+    html_str = payload.decode("utf-8", errors="replace")
+    fast_text, _stats = fast_extract_html(html_str)
+    ok, err = validate_text(fast_text)
+    conf = estimate_confidence(fast_text)
+    critical, _cscore, hits = detect_critical(fast_text)
+    escalate = (not ok) or (conf < threshold) or critical
+
+    if not escalate:
+        return {
+            "url": url, "text": fast_text, "success": True,
+            "confidence": conf, "error": None, "backend_used": "fast",
+            "needs_verification": False, "rule_hits": hits,
+        }
+
+    precise_text = precise_extract_html(html_str)
+    p_ok, p_err = validate_text(precise_text)
+    if p_ok:
+        text, success, error = precise_text, True, None
+    else:
+        text, success, error = fast_text, ok, err or p_err
+    return {
+        "url": url, "text": text, "success": success,
+        "confidence": estimate_confidence(text) if success else conf,
+        "error": error, "backend_used": "fast+precise",
+        "needs_verification": critical, "rule_hits": hits,
+    }

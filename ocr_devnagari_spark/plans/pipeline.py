@@ -1,0 +1,158 @@
+"""End-to-end extraction job: read → resume anti-join → extract → commit.
+
+The Spark lifecycle mapping of the reference's primary entry point
+(``cli.ocr`` → ``MultiBackendProcessor.process_pdf_async``,
+``multi_processor.py:268-532``; SURVEY.md §3.4):
+
+    job args → read pages table → LEFT ANTI join (already-extracted urls)
+    → [optional rebalance] → fused hybrid extraction (one narrow map)
+    → icebox append commit + per-partition lineage rows.
+
+Scale notes (the parts that must survive 1000 executors × 100 TB):
+
+- **Resume is an anti-join, not a driver loop** (the reference's
+  ``[p for p in requested if p not in completed]``, ``utils.py:70-72``,
+  is O(n²) driver-side; here Catalyst plans a broadcast or shuffled anti
+  join and AQE picks by the checkpoint's actual size).
+- **No payload shuffle by default.** The extraction map is narrow; task
+  granularity is governed by ``spark.sql.files.maxPartitionBytes``, which
+  bounds per-task working set WITHOUT moving 100 TB through a shuffle.
+  ``rebalance_mode='salted'`` exists for pathologically skewed inputs (a
+  few multi-GB rows): it repartitions by (size-tier, host-hash ⊕ salt) —
+  use it only when input file layout itself is skewed, because it pays a
+  full shuffle of the payload bytes.
+- **Per-partition lineage, not per-row driver writes.** The reference
+  JSON-dumps progress after EVERY page (``utils.py:41-56``, called per page
+  at ``multi_processor.py:457``) — a driver-side bottleneck at any scale.
+  Here each task's stats become one lineage row (FIXTURES.md F3) aggregated
+  with a tiny shuffle of (partition_id, counters) tuples.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..operators.extract import EXTRACTED_SCHEMA, extract_fused
+from ..sources.icebox import IceboxTable
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("snapshot_id", T.LongType(), False),
+    T.StructField("partition_id", T.IntegerType(), False),
+    T.StructField("url_min", T.StringType(), True),
+    T.StructField("url_max", T.StringType(), True),
+    T.StructField("row_count", T.LongType(), False),
+    T.StructField("failed_count", T.LongType(), False),
+    T.StructField("rule_hits", T.MapType(T.StringType(), T.LongType()), True),
+    T.StructField("committed_at", T.TimestampType(), False),
+])
+
+
+def read_pages(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    return spark.read.schema(PAGES_SCHEMA).parquet(
+        os.path.join(corpus_dir, "pages.parquet"))
+
+
+def pending_pages(pages: DataFrame, extracted: IceboxTable,
+                  spark: SparkSession) -> DataFrame:
+    """Resume semantics (J1/R2): requested − already committed, as a
+    LEFT ANTI join on url. With no checkpoint, everything is pending."""
+    if not extracted.exists():
+        return pages
+    done = extracted.read(spark).select("url")
+    return pages.join(done, "url", "left_anti")
+
+
+def rebalance(pages: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Optional skew-breaking shuffle: (size-tier, host, salt) keys.
+
+    Size tier = log2 bucket of payload bytes keeps giant documents from
+    convoying small ones in one task; the salt (hash of the full url) splits
+    hot hosts across ``salt_buckets`` partitions (north-rule skew handling;
+    Common-Crawl host and size distributions are heavy-tailed).
+    """
+    sz = F.length(F.col("html"))
+    tier = (F.when(sz < cfg.size_tier_bytes[0], 0)
+             .when(sz < cfg.size_tier_bytes[1], 1)
+             .when(sz < cfg.size_tier_bytes[2], 2)
+             .otherwise(3))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets))
+    return pages.repartition(
+        cfg.num_partitions, tier.alias("size_tier"),
+        F.xxhash64(host).alias("host_hash"), salt.alias("salt"))
+
+
+def lineage_rows(extracted: DataFrame, snapshot_id: int) -> DataFrame:
+    """Per-partition commit records (FIXTURES.md F3): row counts, url range,
+    failure counts, rule-hit histogram (map summed via explode→groupBy)."""
+    base = extracted.groupBy("partition_id").agg(
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+        F.count("*").alias("row_count"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("failed_count"),
+    )
+    hits = (extracted
+            .select("partition_id", F.explode_outer("rule_hits")
+                    .alias("rule", "n"))
+            .filter(F.col("rule").isNotNull())
+            .groupBy("partition_id", "rule").agg(F.sum("n").alias("n"))
+            .groupBy("partition_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("rule", "n"))).alias("rule_hits")))
+    return (base.join(hits, "partition_id", "left")
+            .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+            .withColumn("committed_at", F.current_timestamp())
+            .select([f.name for f in LINEAGE_SCHEMA.fields]))
+
+
+def run_extract_job(
+    spark: SparkSession,
+    corpus_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    job_token: str | None = None,
+    rebalance_mode: str = "none",
+    limit_pending: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns summary counters.
+
+    ``limit_pending`` exists for the resilience tests: process only a prefix
+    of the pending work, commit it, and leave the rest for the next run —
+    simulating the reference's kill-9-mid-run scenario
+    (``docs/RESILIENT_OCR_PLAN.md:438-471``).
+    """
+    out = IceboxTable(cfg.extracted_table)
+    lin = IceboxTable(cfg.lineage_table)
+
+    pages = read_pages(spark, corpus_dir)
+    pending = pending_pages(pages, out, spark)
+    if limit_pending is not None:
+        pending = pending.limit(limit_pending)
+    if rebalance_mode == "salted":
+        pending = rebalance(pending, cfg)
+
+    result = extract_fused(pending, cfg.confidence_threshold)
+    # One materialization: localCheckpoint computes extraction exactly once;
+    # both the output commit and the lineage aggregation read the frozen
+    # result (at cluster scale this would be the staged output files).
+    result = result.localCheckpoint()
+    n = result.count()
+    if n == 0:
+        return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
+
+    snap = out.append(result.drop("partition_id"), job_token=job_token)
+    lin.append(lineage_rows(result, snap),
+               job_token=f"lineage-{job_token}" if job_token else None)
+    return {"snapshot_id": snap, "rows": n, "resumed": False}

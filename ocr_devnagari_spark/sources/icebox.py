@@ -1,0 +1,169 @@
+"""Icebox — Iceberg-semantics table emulation over Parquet + JSON manifests.
+
+No Iceberg runtime jar exists in this sandbox, so snapshot semantics are
+emulated with the exact mechanism the reference uses for its per-page cache
+commits (``cache.py:104-112``: write temp, POSIX-atomic ``rename``), lifted
+from page granularity to snapshot granularity:
+
+- data files are immutable Parquet files under ``<table>/data/``;
+- a manifest (``manifest-<n>.json``) lists the data files of one snapshot,
+  plus ``snapshot_id``, parent, row counts, and the set of **applied job
+  tokens** (for idempotent re-runs — the analog of the reference's
+  "resume 10 times = same result" acceptance rule,
+  ``docs/RESILIENT_OCR_PLAN.md:412-415``);
+- ``_current`` is a one-line pointer file swapped with ``os.replace`` —
+  the single atomic commit point. Readers resolve ``_current`` → manifest →
+  files; a crash mid-commit leaves the previous snapshot fully intact.
+
+The engine only talks to this thin API, so a real Iceberg catalog
+(``spark.read.format("iceberg")``, ``MERGE INTO``, ``expire_snapshots``)
+drops in without touching the operators.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IceboxTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+
+    # -- snapshot plumbing ----------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def current_manifest(self) -> dict | None:
+        cp = self._current_path()
+        if not os.path.exists(cp):
+            return None
+        with open(cp) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.path, "manifests", name)) as f:
+            return json.load(f)
+
+    def snapshot_id(self) -> int:
+        m = self.current_manifest()
+        return m["snapshot_id"] if m else 0
+
+    def exists(self) -> bool:
+        return self.current_manifest() is not None
+
+    def applied_tokens(self) -> set:
+        m = self.current_manifest()
+        return set(m.get("applied_tokens", [])) if m else set()
+
+    def _commit(self, files: list, row_count: int, token: str | None) -> int:
+        parent = self.current_manifest()
+        snap = (parent["snapshot_id"] + 1) if parent else 1
+        tokens = set(parent.get("applied_tokens", [])) if parent else set()
+        if token:
+            tokens.add(token)
+        manifest = {
+            "snapshot_id": snap,
+            "parent_snapshot_id": parent["snapshot_id"] if parent else None,
+            "files": sorted(files),
+            "row_count": row_count,
+            "applied_tokens": sorted(tokens),
+        }
+        name = f"manifest-{snap:08d}.json"
+        mpath = os.path.join(self.path, "manifests", name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)                     # manifest durable
+        ctmp = self._current_path() + ".tmp"
+        with open(ctmp, "w") as f:
+            f.write(name)
+        os.replace(ctmp, self._current_path())     # THE atomic commit point
+        return snap
+
+    # -- write paths ------------------------------------------------------------
+    def _stage_write(self, df: DataFrame) -> tuple[list, int]:
+        """Materialize df as immutable parquet files; return (files, rows)."""
+        stage = os.path.join(self.path, "data", f"snap-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        rows = 0
+        for fp in files:
+            import pyarrow.parquet as pq
+            rows += pq.ParquetFile(fp).metadata.num_rows
+        return files, rows
+
+    def append(self, df: DataFrame, job_token: str | None = None) -> int:
+        """Append-commit. If ``job_token`` was already applied → no-op
+        (idempotent re-run; the MERGE-idempotence the north rule requires)."""
+        if job_token and job_token in self.applied_tokens():
+            return self.snapshot_id()
+        files, rows = self._stage_write(df)
+        cur = self.current_manifest()
+        all_files = (cur["files"] if cur else []) + files
+        total = (cur["row_count"] if cur else 0) + rows
+        return self._commit(all_files, total, job_token)
+
+    def overwrite(self, df: DataFrame, job_token: str | None = None) -> int:
+        if job_token and job_token in self.applied_tokens():
+            return self.snapshot_id()
+        files, rows = self._stage_write(df)
+        return self._commit(files, rows, job_token)
+
+    def merge_upsert(self, spark: SparkSession, df: DataFrame, key: str,
+                     job_token: str | None = None) -> int:
+        """MERGE INTO emulation: new rows win on ``key`` (last-wins upsert —
+        the reference's ``{**existing, **new}`` at ``processor.py:358``).
+
+        Emulated as old LEFT ANTI new ∪ new, committed as a full snapshot.
+        Real Iceberg rewrites only matched files; at test scale a full
+        rewrite is fine and keeps the commit atomic.
+        """
+        if job_token and job_token in self.applied_tokens():
+            return self.snapshot_id()
+        if not self.exists():
+            return self.overwrite(df, job_token)
+        old = self.read(spark)
+        merged = old.join(df.select(key).distinct(), key, "left_anti") \
+                    .unionByName(df)
+        merged = merged.localCheckpoint()   # cut lineage before self-overwrite
+        files, rows = self._stage_write(merged)
+        return self._commit(files, rows, job_token)
+
+    # -- read path ----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        m = self.current_manifest()
+        if m is None or not m["files"]:
+            raise FileNotFoundError(f"no current snapshot in {self.path}")
+        return spark.read.parquet(*m["files"])
+
+    def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:
+        m = self.current_manifest()
+        if m is None or not m["files"]:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*m["files"])
+
+    # -- maintenance (K5 cache-GC analog: cache.py:228-254) ------------------
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop manifests older than the last ``keep_last`` and delete data
+        files no surviving manifest references. Returns #files removed."""
+        mdir = os.path.join(self.path, "manifests")
+        manifests = sorted(glob.glob(os.path.join(mdir, "manifest-*.json")))
+        live = manifests[-keep_last:] if keep_last else []
+        referenced = set()
+        for mp in live:
+            with open(mp) as f:
+                referenced.update(json.load(f)["files"])
+        removed = 0
+        for fp in glob.glob(os.path.join(self.path, "data", "*", "*.parquet")):
+            if fp not in referenced:
+                os.remove(fp)
+                removed += 1
+        for mp in manifests:
+            if mp not in live:
+                os.remove(mp)
+        return removed
