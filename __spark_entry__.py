@@ -1,38 +1,599 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: wrap the driver's ``documents`` table into
+Common-Crawl-style pages, run the fused hybrid extraction, aggregate routes.
+
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data pipeline surface); each callable is (spark, sf_dir) →
+DataFrame with column names aligned to ``oracle_sql()``.
+
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL. Queries without an entry here
+(MinHash/SimHash/LSH/multimodal) use hash families DuckDB doesn't share;
+they are rows-only here and verified against brute-force Python oracles in
+``tests/``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ocr_devnagari_spark.functions.text import (
+    BPE_ISH_RE,
+    bpe_ish_count,
+    confidence_expr,
+    critical_score,
+    lang_id,
+    quality_score,
+    token_count,
+    validation_ok,
+)
+from ocr_devnagari_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_dedup,
+    simhash_fingerprints,
+)
+from ocr_devnagari_spark.operators.extract import extract_fused
+from ocr_devnagari_spark.operators.multimodal import image_feature_stage
+from ocr_devnagari_spark.operators.similarity import (
+    cosine_topk,
+    knn_self_join,
+    lsh_bucket_topk,
+)
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to Python workers (driver sessions created
+    outside our factory don't have it)."""
+    try:
+        from ocr_devnagari_spark.session import package_zip
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added, or running where cwd import suffices
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Shared constructions (mirrored 1:1 in the oracle SQL)
+# ---------------------------------------------------------------------------
+
+def _wrapped_pages(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("<html><body><article><p>"), F.col("text"),
+                 F.lit("</p></article></body></html>")
+                 ).cast("binary").alias("html"))
+
+
+def _spiked_text() -> F.Column:
+    """Deterministically spike critical patterns into 'documents.text' so
+    the detector cascade has signal on the driver corpus."""
+    return (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" ॥ "),
+                            (F.col("doc_id") % 20).cast("string"),
+                            F.lit(" ॥")))
+            .when(F.col("doc_id") % 7 == 0,
+                  F.concat(F.col("text"), F.lit(" def f(x): return 42")))
+            .otherwise(F.col("text")))
+
+_SPIKED_SQL = ("CASE WHEN doc_id % 5 = 0 THEN text || ' ॥ ' || "
+               "CAST(doc_id % 20 AS VARCHAR) || ' ॥' "
+               "WHEN doc_id % 7 = 0 THEN text || ' def f(x): return 42' "
+               "ELSE text END")
+
+
+def _dupful_docs(spark, sf_dir) -> DataFrame:
+    """documents ∪ planted clones (doc_id%97==0, shifted ids) — gives the
+    dedup operators real duplicate groups on the driver corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (d.filter(F.col("doc_id") % 97 == 0)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return d.unionByName(clones)
+
+_DUPFUL_SQL = ("SELECT doc_id, text FROM documents UNION ALL "
+               "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+               "WHERE doc_id % 97 = 0")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: wrap documents as pages → fused hybrid
+    extraction → per-route aggregate."""
+    _ensure_shipped(spark)
+    pages = _wrapped_pages(spark, "/root/testdata/sf0.001")
+    out = extract_fused(pages)
+    return (out.groupBy("backend_used", "success")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .orderBy("backend_used", "success"))
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction over wrapped pages (M1 fast path, byte-level) ----
+    def extract_wrapped(spark, sf_dir):
+        _ensure_shipped(spark)
+        out = extract_fused(_wrapped_pages(spark, sf_dir))
+        return out.select("url", "text", "backend_used", "success")
+    q["extract_wrapped"] = extract_wrapped
+
+    # ---- P2 validation filter ----
+    def p2_validate(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (d.filter(validation_ok(F.col("text")))
+                .select("doc_id", "lang", "n_chars"))
+    q["p2_validate"] = p2_validate
+
+    # ---- P5 confidence projection ----
+    def p5_confidence(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id", F.round(confidence_expr(F.col("text")), 6)
+            .alias("confidence"))
+    q["p5_confidence"] = p5_confidence
+
+    # ---- M6 critical-pattern scoring cascade ----
+    def m6_critical(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        return d.select(
+            "doc_id",
+            F.round(critical_score(F.col("t2")), 6).alias("crit_score"))
+    q["m6_critical"] = m6_critical
+
+    # ---- M5/A1 hybrid routing stats ----
+    def m5_route_stats(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        route = (F.when(~validation_ok(F.col("t2"))
+                        | (confidence_expr(F.col("t2")) < 0.85)
+                        | (critical_score(F.col("t2")) >= 0.6),
+                        F.lit("fast+precise"))
+                 .otherwise(F.lit("fast")))
+        return (d.select(route.alias("backend_used"))
+                .groupBy("backend_used")
+                .agg(F.count("*").alias("n_docs")))
+    q["m5_route_stats"] = m5_route_stats
+
+    # ---- J1 resume anti-join ----
+    def j1_resume_antijoin(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        done = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+        return (d.join(done, "doc_id", "left_anti")
+                .select("doc_id", "lang"))
+    q["j1_resume_antijoin"] = j1_resume_antijoin
+
+    # ---- J2 upsert merge (last-wins on a colliding key) ----
+    def j2_upsert_merge(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        keyed = d.select((F.col("doc_id") % 50).alias("k"),
+                         "doc_id", "n_chars")
+        w = Window.partitionBy("k").orderBy(F.desc("doc_id"))
+        return (keyed.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("k", "doc_id", "n_chars"))
+    q["j2_upsert_merge"] = j2_upsert_merge
+
+    # ---- A1 lang histogram ----
+    def a1_lang_histogram(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (d.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                     F.sum(token_count(F.col("text"))).alias("total_tokens")))
+    q["a1_lang_histogram"] = a1_lang_histogram
+
+    # ---- O1 sort + top-k export ----
+    def o1_topk_chars(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+                .select("doc_id", "n_chars").limit(20))
+    q["o1_topk_chars"] = o1_topk_chars
+
+    # ---- T2 union + distinct ----
+    def t2_union_distinct(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        a = d.filter(F.col("doc_id") % 2 == 0)
+        b = d.filter(F.col("doc_id") % 3 == 0)
+        return (a.unionByName(b).select("doc_id", "source").distinct()
+                .groupBy("source").agg(F.count("*").alias("n_docs")))
+    q["t2_union_distinct"] = t2_union_distinct
+
+    # ---- text analysis: language-ID confusion matrix ----
+    def lang_id_matrix(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (d.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+                .groupBy("lang", "lang_guess")
+                .agg(F.count("*").alias("n_docs")))
+    q["lang_id_matrix"] = lang_id_matrix
+
+    # ---- text analysis: quality score ----
+    def quality_scores(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id",
+                        quality_score(F.col("text")).alias("quality"))
+    q["quality_scores"] = quality_scores
+
+    # ---- text analysis: token counting ----
+    def token_counts(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id",
+                        token_count(F.col("text")).alias("ws_tokens"),
+                        bpe_ish_count(F.col("text")).alias("bpe_tokens"))
+    q["token_counts"] = token_counts
+
+    # ---- dedup: exact groups over planted clones ----
+    def dedup_exact(spark, sf_dir):
+        return exact_dedup_groups(_dupful_docs(spark, sf_dir))
+    q["dedup_exact"] = dedup_exact
+
+    # ---- dedup: n-gram Jaccard (exact) within one source ----
+    def dedup_jaccard(spark, sf_dir):
+        d = (_t(spark, sf_dir, "documents")
+             .filter(F.col("source") == "src0").select("doc_id", "text"))
+        return jaccard_pairs(d, n=2, threshold=0.05)
+    q["dedup_jaccard"] = dedup_jaccard
+
+    # ---- dedup: MinHash LSH (rows-only; pytest has the brute oracle) ----
+    def dedup_minhash(spark, sf_dir):
+        _ensure_shipped(spark)
+        return minhash_dedup(_dupful_docs(spark, sf_dir), threshold=0.8) \
+            .select("id_a", "id_b")
+    q["dedup_minhash"] = dedup_minhash
+
+    # ---- dedup: SimHash fingerprints (rows-only) ----
+    def dedup_simhash(spark, sf_dir):
+        _ensure_shipped(spark)
+        return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    q["dedup_simhash"] = dedup_simhash
+
+    # ---- similarity: brute-force cosine top-k ----
+    def sim_cosine_topk(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+        return cosine_topk(e, qvec, k=10)
+    q["sim_cosine_topk"] = sim_cosine_topk
+
+    # ---- similarity: LSH-bucketed ANN (rows-only) ----
+    def sim_ann_lsh(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+        return lsh_bucket_topk(e, qvec, k=10, n_planes=6)
+    q["sim_ann_lsh"] = sim_ann_lsh
+
+    # ---- similarity: embedding near-dup self-join (rows-only) ----
+    def sim_knn_pairs(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        clones = (e.filter(F.col("vec_id") % 53 == 0)
+                  .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                          "embedding", "label"))
+        return knn_self_join(e.unionByName(clones), threshold=0.9,
+                             n_planes=6)
+    q["sim_knn_pairs"] = sim_knn_pairs
+
+    # ---- array analytics over embeddings ----
+    def emb_label_stats(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings")
+        return (e.groupBy("label")
+                .agg(F.count("*").alias("n_vecs"),
+                     F.round(F.avg(F.col("embedding").getItem(0)
+                                   .cast("double")), 6).alias("dim0_avg")))
+    q["emb_label_stats"] = emb_label_stats
+
+    # ---- TPC-H-ish relational coverage ----
+    def tpch_q1(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                     F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                     F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("sum_disc_price"),
+                     F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                     F.count("*").alias("count_order")))
+    q["tpch_q1"] = tpch_q1
+
+    def tpch_q3_top10(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+                .limit(10))
+    q["tpch_q3_top10"] = tpch_q3_top10
+
+    def tpch_q5_region(spark, sf_dir):
+        r = _t(spark, sf_dir, "region")
+        n = _t(spark, sf_dir, "nation")
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(c, o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name", "n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"),
+                     F.count("*").alias("n_items")))
+    q["tpch_q5_region"] = tpch_q5_region
+
+    def window_latest_order(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey"))
+        return (o.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("o_custkey", "o_orderkey", "o_orderdate"))
+    q["window_latest_order"] = window_latest_order
+
+    def events_stats(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.avg("value"), 4).alias("avg_value"),
+                     F.countDistinct("user_id").alias("n_users")))
+    q["events_stats"] = events_stats
+
+    def events_top_user(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        per = (ev.groupBy("event_type", "user_id")
+               .agg(F.round(F.sum("value"), 4).alias("total_value")))
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("total_value"), F.asc("user_id"))
+        return (per.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("event_type", "user_id", "total_value"))
+    q["events_top_user"] = events_top_user
+
+    # ---- multimodal plumbing (rows-only) ----
+    def multimodal_features(spark, sf_dir):
+        _ensure_shipped(spark)
+        d = _t(spark, sf_dir, "documents")
+        media = d.select(
+            F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.lit("image/fake").alias("mime"))
+        return image_feature_stage(media).select(
+            "media_id", "width", "height", "n_bytes", "phash")
+    q["multimodal_features"] = multimodal_features
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same table names as pre-registered views)
+# ---------------------------------------------------------------------------
+
+_VALID_SQL = (
+    "length(trim({c})) >= 20 "
+    "AND NOT regexp_matches(lower(substring(trim({c}), 1, 300)), "
+    "'(cannot process|unable to|i can''t|i cannot|no text|error occurred|"
+    "not readable|failed to|as an ai|i''m sorry|sorry,|no content|"
+    "blank page)') "
+    "AND regexp_matches(trim({c}), '[\\p{{L}}\\p{{N}}]')")
+
+_CONF_SQL = (
+    "greatest(0.5, 1.0 - 0.15 * ("
+    "CAST(regexp_matches({c}, '[^\\p{{L}}\\p{{N}}_\\s]{{5,}}') AS INT) + "
+    "CAST(length({c}) < 50 AS INT) + "
+    "CAST((CASE WHEN length({c}) > 0 THEN "
+    "length(regexp_replace({c}, '[^\\p{{L}}]', '', 'g')) * 1.0 / length({c}) "
+    "ELSE 0.0 END) < 0.3 AS INT)))")
+
+def _crit_expr(c: str) -> str:
+    v = f"CAST(len(regexp_extract_all({c}, '॥\\s*\\d+\\s*॥')) > 0 AS INT)"
+    b = f"CAST(len(regexp_extract_all({c}, '(ॐ|स्वाहा|श्लोक)')) > 0 AS INT)"
+    cd = (f"CAST(len(regexp_extract_all({c}, "
+          f"'(def |return |function\\s*\\(|;\\s*}})')) > 0 AS INT)")
+    nm = f"CAST(len(regexp_extract_all({c}, '\\b\\d{{3,}}\\b')) >= 6 AS INT)"
+    fam = f"({v} + {b} + {cd} + {nm})"
+    mx = (f"greatest({v} * 0.8, {b} * 0.9, {cd} * 0.75, {nm} * 0.7)")
+    score = f"least(1.0, {mx} * (1.0 + least({fam} - 1, 5) * 0.05))"
+    return f"CASE WHEN {fam} > 0 THEN {score} ELSE 0.0 END"
+
+
+_STOP = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|nicht|mit|sich|auf|für|ist)\b",
+    "fr": r"\b(le|la|les|des|une|dans|pour|avec|est|que)\b",
+    "es": r"\b(el|los|las|una|en|para|con|por|es|que)\b",
+    "hi": r"(और|का|की|के|में|से|है|यह|नहीं)",
+    "zh": r"(的|一|是|在|不|了|有|和|人|这)",
+}
+
+
+def _stop_cnt(c: str, lang: str) -> str:
+    return f"len(regexp_extract_all({c}, '{_STOP[lang]}'))"
+
+
+def _lang_id_expr(c: str) -> str:
+    scores = {lg: _stop_cnt(c, lg) for lg in _STOP}
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = " ".join(
+        f"WHEN {scores[lg]} = {mx} THEN '{lg}'"
+        for lg in ("de", "en", "es", "fr", "hi", "zh"))
+    return f"CASE WHEN {mx} = 0 THEN 'und' {chain} ELSE 'und' END"
+
+
+def _quality_expr(c: str) -> str:
+    letter = (f"(CASE WHEN length({c}) > 0 THEN "
+              f"length(regexp_replace({c}, '[^\\p{{L}}]', '', 'g')) * 1.0 "
+              f"/ length({c}) ELSE 0.0 END)")
+    toks = f"len(regexp_extract_all({c}, '\\S+'))"
+    hits = " + ".join(_stop_cnt(c, lg) for lg in _STOP)
+    stopr = f"(CASE WHEN {toks} > 0 THEN ({hits}) * 1.0 / {toks} ELSE 0.0 END)"
+    punct = (f"(CASE WHEN length({c}) > 0 THEN "
+             f"length(regexp_replace({c}, '[^\\.,;:!\\?]', '', 'g')) * 1.0 "
+             f"/ length({c}) ELSE 0.0 END)")
+    return (f"round(0.3 * least(1.0, length({c}) / 500.0) "
+            f"+ 0.3 * {letter} "
+            f"+ 0.25 * least(1.0, {stopr} * 4.0) "
+            f"+ 0.15 * (1.0 - least(1.0, {punct} * 5.0)), 6)")
+
+
+_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
+g AS (SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] AS shingle
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+           AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM g a JOIN g b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.05
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t2 = f"({_SPIKED_SQL})"
+    route = (f"CASE WHEN NOT ({_VALID_SQL.format(c='t2')}) "
+             f"OR ({_CONF_SQL.format(c='t2')}) < 0.85 "
+             f"OR ({_crit_expr('t2')}) >= 0.6 "
+             f"THEN 'fast+precise' ELSE 'fast' END")
+    return {
+        "extract_wrapped": (
+            "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text, "
+            "'fast' AS backend_used, true AS success FROM documents"),
+        "p2_validate": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + _VALID_SQL.format(c="text")),
+        "p5_confidence": (
+            f"SELECT doc_id, round({_CONF_SQL.format(c='text')}, 6) "
+            "AS confidence FROM documents"),
+        "m6_critical": (
+            f"SELECT doc_id, round({_crit_expr('t2')}, 6) AS crit_score "
+            f"FROM (SELECT doc_id, {t2} AS t2 FROM documents)"),
+        "m5_route_stats": (
+            f"SELECT backend_used, count(*) AS n_docs FROM "
+            f"(SELECT {route} AS backend_used FROM "
+            f"(SELECT doc_id, {t2} AS t2 FROM documents)) GROUP BY 1"),
+        "j1_resume_antijoin": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"),
+        "j2_upsert_merge": (
+            "SELECT k, doc_id, n_chars FROM ("
+            "SELECT doc_id % 50 AS k, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY doc_id % 50 "
+            "ORDER BY doc_id DESC) AS rn FROM documents) WHERE rn = 1"),
+        "a1_lang_histogram": (
+            "SELECT lang, count(*) AS n_docs, "
+            "round(avg(n_chars), 2) AS avg_chars, "
+            "sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens "
+            "FROM documents GROUP BY lang"),
+        "o1_topk_chars": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),
+        "t2_union_distinct": (
+            "SELECT source, count(*) AS n_docs FROM ("
+            "SELECT DISTINCT doc_id, source FROM ("
+            "SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id, source FROM documents "
+            "WHERE doc_id % 3 = 0)) GROUP BY source"),
+        "lang_id_matrix": (
+            f"SELECT lang, {_lang_id_expr('text')} AS lang_guess, "
+            "count(*) AS n_docs FROM documents GROUP BY 1, 2"),
+        "quality_scores": (
+            f"SELECT doc_id, {_quality_expr('text')} AS quality "
+            "FROM documents"),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS ws_tokens, "
+            f"len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpe_tokens "
+            "FROM documents"),
+        "dedup_exact": (
+            f"SELECT md5(text) AS fingerprint, count(*) AS n_docs, "
+            f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "
+            "GROUP BY md5(text) HAVING count(*) > 1"),
+        "dedup_jaccard": _JACCARD_SQL,
+        "sim_cosine_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, round("
+            "list_dot_product(embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
+            ", 6) AS cosine FROM embeddings, q "
+            "ORDER BY list_dot_product(embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) "
+            "DESC, vec_id ASC LIMIT 10"),
+        "emb_label_stats": (
+            "SELECT label, count(*) AS n_vecs, "
+            "round(avg(embedding[1]::DOUBLE), 6) AS dim0_avg "
+            "FROM embeddings GROUP BY label"),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "tpch_q3_top10": (
+            "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+        "tpch_q5_region": (
+            "SELECT r_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"),
+        "window_latest_order": (
+            "SELECT o_custkey, o_orderkey, o_orderdate FROM ("
+            "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate DESC, "
+            "o_orderkey DESC) AS rn FROM orders) WHERE rn = 1"),
+        "events_stats": (
+            "SELECT event_type, count(*) AS n_events, "
+            "round(avg(value), 4) AS avg_value, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"),
+        "events_top_user": (
+            "SELECT event_type, user_id, total_value FROM ("
+            "SELECT event_type, user_id, round(sum(value), 4) "
+            "AS total_value, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY round(sum(value), 4) DESC, user_id ASC) AS rn "
+            "FROM events GROUP BY event_type, user_id) WHERE rn = 1"),
+    }

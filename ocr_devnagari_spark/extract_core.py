@@ -89,9 +89,12 @@ class Block:
     anchor_chars: int = 0
     n_links: int = 0
     dropped: bool = False        # inside nav/header/footer/aside/drop-class
+    _text: str | None = None
 
     def text(self) -> str:
-        return canon("".join(self.parts))
+        if self._text is None:
+            self._text = canon("".join(self.parts))
+        return self._text
 
 
 class _BlockParser(HTMLParser):
@@ -398,6 +401,16 @@ def validate_text(text: str) -> tuple[bool, str | None]:
 # ---------------------------------------------------------------------------
 
 _GARBLED_RE = re.compile(r"[^\w\s]{5,}", re.UNICODE)
+_ASCII_NONLETTER_RE = re.compile(r"[^A-Za-z]+")
+
+
+def _count_letters(text: str) -> int:
+    """== sum(c.isalpha() for c in text); C-speed regex fast path for the
+    ~86% of documents that are pure ASCII (semantics must stay EXACTLY
+    isalpha — confidence feeds routing, routing feeds byte-identity)."""
+    if text.isascii():
+        return len(_ASCII_NONLETTER_RE.sub("", text))
+    return sum(1 for c in text if c.isalpha())
 
 
 def estimate_confidence(text: str) -> float:
@@ -409,8 +422,7 @@ def estimate_confidence(text: str) -> float:
         issues += 1
     n = len(text)
     if n > 0:
-        letters = sum(1 for c in text if c.isalpha())
-        if letters / n < 0.3:
+        if _count_letters(text) / n < 0.3:
             issues += 1
     else:
         issues += 1

@@ -1,0 +1,183 @@
+"""Catalyst-native text functions — the JVM-side (whole-stage-codegen) fast
+path for everything that does NOT need a Python worker.
+
+Each builder returns a ``pyspark.sql.Column``. The reference computes all of
+these row-at-a-time in Python; expressed as columns they are pushed,
+pruned and codegen'd by Catalyst for free (SURVEY.md §4 scorecard):
+
+- ``validation_ok``      → P2  (``gemini_backend.py:364-398``)
+- ``confidence_expr``    → P5  (``marker_backend.py:208-233``)
+- ``critical_score``     → M6  (``mantra_detector.py:133-238``)
+- ``cheap_critical``     → M7  (the 4× duplicated substring pre-check,
+                           deduplicated into ONE expression)
+- lang-ID / quality / token counts / fingerprints → the training-data
+  pipeline text-analysis surface (driver brief), built only from functions
+  with exact DuckDB equivalents so every one is oracle-checkable.
+
+Regex notes: only syntax common to Java regex (Spark) and RE2 (DuckDB) is
+used — ``\\p{L}``, ``\\b``, alternations; no lookbehind.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P2 — validation predicate
+# ---------------------------------------------------------------------------
+
+ERROR_PATTERN_RE = ("(cannot process|unable to|i can't|i cannot|no text|"
+                    "error occurred|not readable|failed to|as an ai|"
+                    "i'm sorry|sorry,|no content|blank page)")
+ALNUM_RE = r"[\p{L}\p{N}]"
+
+
+def validation_ok(col: Column, min_len: int = 20) -> Column:
+    t = F.trim(col)
+    return ((F.length(t) >= F.lit(min_len))
+            & ~F.lower(F.substring(t, 1, 300)).rlike(ERROR_PATTERN_RE)
+            & t.rlike(ALNUM_RE))
+
+
+# ---------------------------------------------------------------------------
+# P5 — confidence estimation as pure arithmetic on the column
+# ---------------------------------------------------------------------------
+
+GARBLED_RE = r"[^\p{L}\p{N}_\s]{5,}"
+
+
+def letter_ratio(col: Column) -> Column:
+    n = F.length(col)
+    letters = F.length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    return F.when(n > 0, letters / n).otherwise(F.lit(0.0))
+
+
+def confidence_expr(col: Column) -> Column:
+    """max(0.5, 1 − 0.15·issues) — same formula as extract_core, JVM-side."""
+    issues = (col.rlike(GARBLED_RE).cast("int")
+              + (F.length(col) < 50).cast("int")
+              + (letter_ratio(col) < 0.3).cast("int"))
+    return F.greatest(F.lit(0.5), F.lit(1.0) - F.lit(0.15) * issues)
+
+
+# ---------------------------------------------------------------------------
+# M6/M7 — critical-pattern scoring cascade, vectorized
+# ---------------------------------------------------------------------------
+
+VERSE_RE = r"॥\s*\d+\s*॥"
+BIJA_RE = r"(ॐ|स्वाहा|श्लोक)"
+CODE_RE = r"(def |return |function\s*\(|;\s*\})"
+NUM_RE = r"\b\d{3,}\b"
+
+
+def cheap_critical(col: Column) -> Column:
+    """M7: one shared pre-check expression (the reference duplicates this
+    substring scan in 4 backends)."""
+    return col.rlike(f"({VERSE_RE}|{BIJA_RE.strip('()')})")
+
+
+def critical_score(col: Column) -> Column:
+    """Combined score = max(family scores) × (1 + 0.05·min(families−1, 5))."""
+    verse = (F.regexp_count(col, F.lit(VERSE_RE)) > 0).cast("int")
+    bija = (F.regexp_count(col, F.lit(BIJA_RE)) > 0).cast("int")
+    code = (F.regexp_count(col, F.lit(CODE_RE)) > 0).cast("int")
+    num = (F.regexp_count(col, F.lit(NUM_RE)) >= 6).cast("int")
+    fam = verse + bija + code + num
+    mx = F.greatest(verse * F.lit(0.8), bija * F.lit(0.9),
+                    code * F.lit(0.75), num * F.lit(0.7))
+    score = F.least(F.lit(1.0),
+                    mx * (F.lit(1.0)
+                          + F.least(fam - 1, F.lit(5)) * F.lit(0.05)))
+    return F.when(fam > 0, score).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (n-gram/stopword heuristic) — training-data pipeline op
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|nicht|mit|sich|auf|für|ist)\b",
+    "fr": r"\b(le|la|les|des|une|dans|pour|avec|est|que)\b",
+    "es": r"\b(el|los|las|una|en|para|con|por|es|que)\b",
+    "hi": r"(और|का|की|के|में|से|है|यह|नहीं)",
+    "zh": r"(的|一|是|在|不|了|有|和|人|这)",
+}
+LANG_ORDER = ("de", "en", "es", "fr", "hi", "zh")   # tie-break: alphabetical
+
+
+def lang_scores(col: Column) -> dict:
+    return {lang: F.regexp_count(col, F.lit(pat))
+            for lang, pat in STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' when all zero.
+
+    Ties break by LANG_ORDER (first language with the max count) — the
+    DuckDB oracle replicates the same CASE chain, so the tie rule is part
+    of the spec.
+    """
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(scores[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx > 0, expr).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens — regexp_count('\\S+') (empty-safe, both engines)."""
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+BPE_ISH_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """BPE-flavoured token count: letter runs, digit runs, single symbols."""
+    return F.regexp_count(col, F.lit(BPE_ISH_RE))
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^\.,;:!\?]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    hits = sum(lang_scores(col).values())
+    toks = token_count(col)
+    return F.when(toks > 0, hits.cast("double") / toks).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite ∈ [0,1]: favour mid-length docs, letters over symbols,
+    some stopwords, low punctuation — the standard web-text quality recipe
+    (C4/Gopher-style heuristics, public)."""
+    len_score = F.least(F.lit(1.0), F.length(col) / F.lit(500.0))
+    letter_s = letter_ratio(col)
+    stop_s = F.least(F.lit(1.0), stopword_ratio(col) * F.lit(4.0))
+    punct_pen = F.least(F.lit(1.0), punct_ratio(col) * F.lit(5.0))
+    return F.round(F.lit(0.3) * len_score + F.lit(0.3) * letter_s
+                   + F.lit(0.25) * stop_s
+                   + F.lit(0.15) * (F.lit(1.0) - punct_pen), 6)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint (md5 hex — identical in DuckDB)."""
+    return F.md5(col)
+
+
+def fingerprint_xx(col: Column) -> Column:
+    """64-bit engine-side fingerprint (xxhash64; Spark-only, no oracle)."""
+    return F.xxhash64(col)

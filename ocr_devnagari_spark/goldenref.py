@@ -36,9 +36,10 @@ def golden_extract_corpus(corpus_dir: str, out_path: str | None = None) -> str:
     marker = out_path + ".done"
     if os.path.exists(marker):
         return out_path
-    src = pq.ParquetFile(os.path.join(corpus_dir, "pages.parquet"))
+    import pyarrow.dataset as ds
+    src = ds.dataset(os.path.join(corpus_dir, "pages.parquet"))
     writer = pq.ParquetWriter(out_path, GOLDEN_SCHEMA, compression="zstd")
-    for batch in src.iter_batches(batch_size=1024, columns=["url", "html"]):
+    for batch in src.to_batches(batch_size=1024, columns=["url", "html"]):
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         rows = []

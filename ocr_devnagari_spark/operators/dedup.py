@@ -1,0 +1,226 @@
+"""Deduplication operators for a web-scale training-data pipeline.
+
+Four escalating strategies, all DataFrame-native:
+
+- **exact**        — md5-fingerprint groupBy (one shuffle of (hash, id));
+- **n-gram Jaccard** — token-shingle inverted index self-join (exact
+  similarity, quadratic in bucket size — the verification primitive);
+- **MinHash + LSH** — k minhashes → b bands → bucket join → candidate pairs
+  verified by exact Jaccard (the 10^12-row path: shuffles only
+  (band_hash, id) pairs, never documents);
+- **SimHash**      — 64-bit sign-of-weighted-sum fingerprint; near-dup =
+  Hamming ≤ d, found via the 4×16-bit pigeonhole chunk join (hamming ≤ 3
+  ⇒ at least one chunk identical), so no O(n²) pass.
+
+Scale notes: every join here moves only hashes and ids. Stop-shingles (a
+shingle appearing in a huge fraction of docs) are the skew bomb in the
+inverted-index join — ``max_df`` drops them, the standard trick from the
+published MinHash-dedup literature (e.g. the C4/RefinedWeb pipelines).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document; JVM-side only
+    (split / sequence / transform / explode: no Python workers)."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (fingerprint, n_docs, keep_id).
+    ``keep_id`` = min id is the canonical representative."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.8,
+                  max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    |A∩B| from the inverted-index self-join; |A|,|B| from per-doc counts;
+    J = |A∩B| / (|A|+|B|−|A∩B|). ``max_df`` removes stop-shingles before
+    the join (skew + cost control at scale; exact only when None).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, "shingle")
+              .filter(F.col("a.id") < F.col("b.id"))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("common")
+                                / (F.col("sz_a") + F.col("sz_b")
+                                   - F.col("common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 32,
+                       n: int = 3) -> DataFrame:
+    """k min-hashes per doc in ONE aggregation pass over exploded shingles.
+    Hash family: xxhash64 with k distinct prefixes (deterministic, JVM-side;
+    one partial+final agg — map-side combine keeps the shuffle tiny)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"),
+                                      F.col("shingle")))).alias(f"h{i}")
+            for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
+                        rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = k) and bucket-join.
+
+    Shuffle volume: bands × (band_hash, id) rows. Pair explosion inside a
+    bucket is bounded by real near-duplicate cluster size (plus rare hash
+    collisions), not corpus size.
+    """
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.col(f"h{b * rows + r}").cast("string")
+                   for r in range(rows)]))
+        for b in range(bands)])
+    banded = sig.select(
+        "id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.8,
+                  k: int = 32, bands: int = 8, rows: int = 4,
+                  n: int = 3) -> DataFrame:
+    """Candidates from LSH, verified with exact Jaccard on candidate ids
+    only (never all-pairs). Returns (id_a, id_b, jaccard) ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, k, n)
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    ids = (cand.select(F.col("id_a").alias("id"))
+           .union(cand.select("id_b")).distinct())
+    subset = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    verified = jaccard_pairs(subset, id_col, text_col, n, threshold)
+    return verified.join(cand, ["id_a", "id_b"], "left_semi")
+
+
+def dedup_keep_list(pairs: DataFrame, all_ids: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Ids to KEEP: drop any id that appears as the greater member of a
+    verified near-dup pair (min-id-wins canonicalization)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return all_ids.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash (Charikar) over whitespace tokens.
+
+    Token hash = blake2b-8 (stable across runs/processes — no PYTHONHASHSEED
+    dependence). Arrow-batched; numpy bit accumulation per batch.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+        shift = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+        for tok in t.split():
+            h = np.uint64(struct.unpack(
+                "<Q",
+                hashlib.blake2b(tok.encode(), digest_size=8).digest())[0])
+            bits = ((h >> shift) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        sig = np.uint64(0)
+        for b in range(_SIMHASH_BITS):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ d via the pigeonhole chunk
+    join: split 64 bits into 4×16-bit chunks; any pair within d ≤ 3 agrees
+    on ≥1 chunk, so the join key is (chunk_idx, chunk_value) — never O(n²).
+    The Hamming filter afterwards is exact (bit_count(xor))."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+            F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)])
+    e = fp.select("id", "simhash",
+                  F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(
+                        F.col("b.simhash"))).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``.
+
+The Spark-side contract is fully real — schemas, Arrow batch shapes,
+partitioning, the ``mapInPandas`` stage signatures — while the codec calls
+themselves are stubbed (this container ships no PIL/ffmpeg): pass
+``fake=True`` for a deterministic content-hash-seeded fake decoder (used in
+tests), or ``fake=False`` to hit the clearly-marked ``NotImplementedError``
+where a real decoder (PIL / torchvision / pyav) plugs in on a cluster with
+the libs installed.
+
+Pattern notes for 100 TB of media: payload bytes must cross into Python
+exactly once (one fused decode+featurize stage), batches must be SMALL
+(``maxRecordsPerBatch`` down to O(10) for multi-MB payloads — same
+bounded-working-set reasoning as the reference's image-memory incident,
+``docs/RESILIENT_OCR_PLAN.md:15-24``), and outputs should be fixed-size
+features/metadata, never re-encoded payloads, so everything downstream is
+columnar again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),      # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("mime", T.StringType(), True),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("phash", T.LongType(), True),        # perceptual-hash slot
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame_phash", T.LongType(), False),
+])
+
+FEATURE_DIM = 16
+
+
+def _fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in: dimensions/phash/features derived from the
+    content digest, so tests exercise real Arrow plumbing with stable data."""
+    d = hashlib.blake2b(payload or b"", digest_size=32).digest()
+    width = 64 + d[0] * 8
+    height = 64 + d[1] * 8
+    phash = int.from_bytes(d[2:10], "little", signed=True)
+    feats = [round(b / 255.0, 6) for b in d[10:10 + FEATURE_DIM]]
+    return {"width": width, "height": height, "phash": phash,
+            "features": feats}
+
+
+def image_feature_stage(media: DataFrame, fake: bool = True) -> DataFrame:
+    """decode → resize → featurize, fused into one Arrow-batched stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/torchvision; "
+                        "plug the codec in here")
+                f = _fake_decode_image(payload)
+                recs.append(dict(media_id=mid, n_bytes=len(payload or b""),
+                                 **f))
+            out = pd.DataFrame.from_records(recs)
+            yield out[[c.name for c in IMAGE_FEATURES_SCHEMA.fields]]
+
+    src = media.select("media_id", "payload")
+    return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_stage(media: DataFrame, every_ms: int = 1000,
+                       max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """Video frame sampling — a one-to-many (UDTF-shaped) stage: each input
+    row yields ≤ ``max_frames`` frame rows (the engine's explode-after-decode
+    pattern, same shape as the reference's ``_split_by_pages``,
+    marker_backend.py:185-206)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires pyav/ffmpeg; "
+                        "plug the codec in here")
+                d = hashlib.blake2b(payload or b"", digest_size=32).digest()
+                n = 1 + d[0] % max_frames
+                for i in range(n):
+                    fh = hashlib.blake2b(d + bytes([i]),
+                                         digest_size=8).digest()
+                    recs.append(dict(
+                        media_id=mid, frame_idx=i, ts_ms=i * every_ms,
+                        frame_phash=int.from_bytes(fh, "little",
+                                                   signed=True)))
+            out = pd.DataFrame.from_records(recs)
+            yield out[[c.name for c in FRAME_SAMPLE_SCHEMA.fields]]
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,127 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash — verified
+against brute-force Python oracles on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.operators.dedup import (
+    dedup_keep_list,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    shingles,
+    simhash_near_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """documents sf0.001 + planted exact dups and near-dups."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(120)
+    rows = base.collect()
+    planted = []
+    for i, r in enumerate(rows[:6]):        # exact duplicates
+        planted.append((10_000 + i, r.text))
+    for i, r in enumerate(rows[6:12]):      # near-duplicates (1 token edit)
+        toks = r.text.split()
+        toks[len(toks) // 2] = "zzzmutated"
+        planted.append((20_000 + i, " ".join(toks)))
+    extra = spark.createDataFrame(planted, "doc_id long, text string")
+    return base.union(extra).cache()
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 6
+    for g in groups:
+        assert g.n_docs == 2
+        assert g.keep_id < 10_000
+
+
+def test_shingles_jvm_side(spark, docs):
+    sh = shingles(docs.limit(5))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    row = docs.limit(1).collect()[0]
+    got = {r.shingle for r in sh.filter(F.col("id") == row.doc_id).collect()}
+    toks = row.text.split()
+    want = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    assert got == want
+
+
+def test_jaccard_pairs_matches_bruteforce(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = _py_jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert pairs == want
+    assert len(want) >= 12          # exact dups + near dups all found
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    found = minhash_dedup(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in found.collect()}
+    # every planted exact dup and near-dup pair must be recovered
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for pid in range(10_000, 10_006):
+        src = next(i for i in texts if i < 10_000
+                   and texts[i] == texts[pid])
+        assert (src, pid) in got
+    n_near = sum(1 for (a, b) in got if b >= 20_000)
+    assert n_near >= 5              # near-dups recovered (LSH is probabilistic
+    #                                 but seeded → deterministic here)
+
+
+def test_minhash_signatures_shape(spark, docs):
+    sig = minhash_signatures(docs.limit(10), k=16)
+    assert len(sig.columns) == 17
+    assert sig.count() == 10
+    cand = lsh_candidate_pairs(sig, bands=4, rows=4)
+    assert cand.columns == ["id_a", "id_b"]
+
+
+def test_dedup_keep_list(spark, docs):
+    pairs = minhash_dedup(docs, threshold=0.5)
+    keep = dedup_keep_list(pairs, docs.select("doc_id"))
+    kept = {r.doc_id for r in keep.collect()}
+    assert all(i not in kept for i in range(10_000, 10_006))
+    assert all(i in kept for i in range(0, 6))
+
+
+def test_simhash_near_dups(spark, docs):
+    got = simhash_near_dups(docs, max_hamming=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # each planted exact clone is found at hamming 0 against its source
+    for pid in range(10_000, 10_006):
+        src = next(i for i in texts if i < 10_000 and texts[i] == texts[pid])
+        assert pairs.get((src, pid)) == 0
+    # pigeonhole join must agree with brute force at d<=3
+    from ocr_devnagari_spark.operators.dedup import simhash_fingerprints
+    fps = {r.id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    ids = sorted(fps)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(fps[a] ^ fps[b]).count("1") <= 3:
+                brute.add((a, b))
+    assert set(pairs) == brute

@@ -1,0 +1,96 @@
+"""Catalyst-native text functions vs the pure-Python extraction core, plus
+whole-stage-codegen sanity (the exprs must stay JVM-side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.extract_core import (
+    detect_critical,
+    estimate_confidence,
+    validate_text,
+)
+from ocr_devnagari_spark.functions.text import (
+    confidence_expr,
+    critical_score,
+    lang_id,
+    quality_score,
+    token_count,
+    validation_ok,
+)
+
+SAMPLES = [
+    "short",
+    "this is a perfectly reasonable paragraph of english text with "
+    "enough letters and words to validate cleanly and score well",
+    "der die das und nicht mit sich auf für ist ein langer deutscher "
+    "beispieltext mit vielen wörtern",
+    "!!!???...;;;:::~~~+++===",
+    "ॐ नमः शिवाय ॥ 12 ॥ और यह एक परीक्षण है जो काफी लंबा होना चाहिए",
+    "def f(x): return x * 2  # code sample with enough length to pass",
+    "1234 5678 91011 1213 1415 1617 numbers 1819 2021 and more 2324",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)],
+                                 "i int, text string").cache()
+
+
+def test_validation_matches_core(spark, sdf):
+    got = {r.i: r.ok for r in sdf.select(
+        "i", validation_ok(F.col("text")).alias("ok")).collect()}
+    for i, s in enumerate(SAMPLES):
+        assert got[i] == validate_text(s)[0], (i, s)
+
+
+def test_confidence_matches_core(spark, sdf):
+    got = {r.i: r.c for r in sdf.select(
+        "i", confidence_expr(F.col("text")).alias("c")).collect()}
+    for i, s in enumerate(SAMPLES):
+        assert abs(got[i] - estimate_confidence(s)) < 1e-9, (i, s)
+
+
+def test_critical_matches_core(spark, sdf):
+    got = {r.i: r.s for r in sdf.select(
+        "i", critical_score(F.col("text")).alias("s")).collect()}
+    for i, s in enumerate(SAMPLES):
+        flag, score, _ = detect_critical(s)
+        assert abs(got[i] - score) < 1e-9, (i, s)
+        assert (got[i] >= 0.6) == flag
+
+
+def test_lang_id_signal(spark, sdf):
+    got = {r.i: r.g for r in sdf.select(
+        "i", lang_id(F.col("text")).alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[4] == "hi"
+    assert got[3] == "und" and got[7] == "und"
+
+
+def test_quality_and_tokens(spark, sdf):
+    rows = {r.i: r for r in sdf.select(
+        "i", quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("t")).collect()}
+    assert rows[1].q > rows[3].q            # prose beats symbol soup
+    assert rows[1].q > rows[0].q            # long beats short
+    for i, s in enumerate(SAMPLES):
+        assert rows[i].t == len(s.split())
+    assert all(0.0 <= r.q <= 1.0 for r in rows.values())
+
+
+def test_functions_stay_jvm_side(spark, sdf):
+    """No Python-worker nodes in the plan — these are the codegen'd fast
+    path; a BatchEvalPython/ArrowEvalPython node here is a regression."""
+    df = sdf.select(validation_ok(F.col("text")),
+                    confidence_expr(F.col("text")),
+                    critical_score(F.col("text")),
+                    lang_id(F.col("text")),
+                    quality_score(F.col("text")))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan       # the codegen'd span marker in plan strings
