@@ -144,6 +144,20 @@ def run_extract_job(
         pending = rebalance(pending, cfg)
 
     result = extract_fused(pending, cfg.confidence_threshold)
+
+    # In-flight metrics via observe() — the Spark-native analog of the
+    # reference's TokenUsage accumulator monoid (gemini_backend.py:25-80):
+    # commutative aggregates collected DURING the job, no extra pass.
+    from pyspark.sql import Observation
+    obs = Observation("extract_metrics")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("failed"),
+        F.sum(F.when(F.col("backend_used") == "fast+precise", 1)
+              .otherwise(0)).alias("escalated"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
     # One materialization: localCheckpoint computes extraction exactly once;
     # both the output commit and the lineage aggregation read the frozen
     # result (at cluster scale this would be the staged output files).
@@ -151,8 +165,10 @@ def run_extract_job(
     n = result.count()
     if n == 0:
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
+    metrics = obs.get
 
     snap = out.append(result.drop("partition_id"), job_token=job_token)
     lin.append(lineage_rows(result, snap),
                job_token=f"lineage-{job_token}" if job_token else None)
-    return {"snapshot_id": snap, "rows": n, "resumed": False}
+    return {"snapshot_id": snap, "rows": n, "resumed": False,
+            "metrics": metrics}
