@@ -28,6 +28,7 @@ from ocr_devnagari_spark.functions.text import (
     critical_score,
     lang_id,
     quality_score,
+    range_predicate,
     token_count,
     validation_ok,
 )
@@ -168,6 +169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("backend_used")
                 .agg(F.count("*").alias("n_docs")))
     q["m5_route_stats"] = m5_route_stats
+
+    # ---- P1 print-dialog range predicate (utils.py:75-141 analog) ----
+    def p1_range_filter(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (d.filter(range_predicate(F.col("doc_id"),
+                                         "0-24,100,200-209,400-449"))
+                .select("doc_id", "lang"))
+    q["p1_range_filter"] = p1_range_filter
 
     # ---- J1 resume anti-join ----
     def j1_resume_antijoin(spark, sf_dir):
@@ -499,6 +508,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT backend_used, count(*) AS n_docs FROM "
             f"(SELECT {route} AS backend_used FROM "
             f"(SELECT doc_id, {t2} AS t2 FROM documents)) GROUP BY 1"),
+        "p1_range_filter": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "doc_id BETWEEN 0 AND 24 OR doc_id = 100 "
+            "OR doc_id BETWEEN 200 AND 209 OR doc_id BETWEEN 400 AND 449"),
         "j1_resume_antijoin": (
             "SELECT doc_id, lang FROM documents WHERE doc_id NOT IN "
             "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)"),

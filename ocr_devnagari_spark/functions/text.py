@@ -181,3 +181,45 @@ def fingerprint_md5(col: Column) -> Column:
 def fingerprint_xx(col: Column) -> Column:
     """64-bit engine-side fingerprint (xxhash64; Spark-only, no oracle)."""
     return F.xxhash64(col)
+
+
+# ---------------------------------------------------------------------------
+# P1 — print-dialog range predicate (utils.py:75-141 parse_page_range)
+# ---------------------------------------------------------------------------
+
+def parse_range_spec(spec: str) -> list:
+    """Parse 'all' | '5' | '1-50' | '1,5,10-20' → sorted unique (lo, hi)
+    inclusive intervals (None = unbounded/'all'). Same grammar as the
+    reference's page-range parser; validation raises ValueError."""
+    spec = spec.strip().lower()
+    if spec == "all":
+        return []
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            lo_s, hi_s = part.split("-", 1)
+            lo, hi = int(lo_s), int(hi_s)
+            if lo > hi:
+                raise ValueError(f"range {part!r}: start > end")
+        else:
+            lo = hi = int(part)
+        if lo < 0:
+            raise ValueError(f"range {part!r}: negative")
+        out.append((lo, hi))
+    return sorted(set(out))
+
+
+def range_predicate(col: Column, spec: str) -> Column:
+    """P1 as a Catalyst predicate: OR of BETWEENs — pushable to the scan
+    (min/max row-group pruning), the Spark analog of rendering only the
+    requested pages. 'all' → literal true."""
+    intervals = parse_range_spec(spec)
+    if not intervals:
+        return F.lit(True)
+    pred = F.lit(False)
+    for lo, hi in intervals:
+        pred = pred | col.between(F.lit(lo), F.lit(hi))
+    return pred

@@ -135,6 +135,8 @@ def run_extract_job(
     """
     out = IceboxTable(cfg.extracted_table)
     lin = IceboxTable(cfg.lineage_table)
+    if job_token and job_token in out.applied_tokens():
+        return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
 
     pages = read_pages(spark, corpus_dir)
     pending = pending_pages(pages, out, spark)
@@ -158,17 +160,19 @@ def run_extract_job(
               .otherwise(0)).alias("escalated"),
         F.sum(F.length("text")).alias("total_chars"),
     )
-    # One materialization: localCheckpoint computes extraction exactly once;
-    # both the output commit and the lineage aggregation read the frozen
-    # result (at cluster scale this would be the staged output files).
-    result = result.localCheckpoint()
-    n = result.count()
+    # ONE computation pass: extraction streams straight into staged parquet
+    # files (task-level atomic; never through driver memory — a
+    # localCheckpoint here would cache the entire output, impossible at
+    # 100 TB). The commit is the manifest swap afterwards; lineage reads the
+    # staged files back (cheap columnar scan, no re-extraction).
+    files, n = out.stage(result)
     if n == 0:
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
     metrics = obs.get
 
-    snap = out.append(result.drop("partition_id"), job_token=job_token)
-    lin.append(lineage_rows(result, snap),
+    snap = out.commit_staged(files, n, job_token=job_token)
+    staged = spark.read.parquet(*files)
+    lin.append(lineage_rows(staged, snap),
                job_token=f"lineage-{job_token}" if job_token else None)
     return {"snapshot_id": snap, "rows": n, "resumed": False,
             "metrics": metrics}

@@ -103,6 +103,19 @@ class IceboxTable:
         if job_token and job_token in self.applied_tokens():
             return self.snapshot_id()
         files, rows = self._stage_write(df)
+        return self.commit_staged(files, rows, job_token)
+
+    def stage(self, df: DataFrame) -> tuple[list, int]:
+        """Materialize df as UNCOMMITTED immutable files (one computation
+        pass, straight to parquet — never through driver memory). Pair with
+        ``commit_staged``; a crash between the two leaves only invisible
+        orphans, which ``expire_snapshots`` collects."""
+        return self._stage_write(df)
+
+    def commit_staged(self, files: list, rows: int,
+                      job_token: str | None = None) -> int:
+        if job_token and job_token in self.applied_tokens():
+            return self.snapshot_id()
         cur = self.current_manifest()
         all_files = (cur["files"] if cur else []) + files
         total = (cur["row_count"] if cur else 0) + rows
