@@ -538,7 +538,8 @@ RESULT_FIELDS = ("url", "text", "success", "confidence", "error",
 
 
 def extract_document(url: str, payload: bytes,
-                     threshold: float = CONFIDENCE_THRESHOLD) -> dict:
+                     threshold: float = CONFIDENCE_THRESHOLD,
+                     primary=None, precise=None) -> dict:
     """The per-row pure function: route → extract → validate → escalate.
 
     Deterministic two-pass semantics (identical to the distributed plan in
@@ -561,7 +562,8 @@ def extract_document(url: str, payload: bytes,
         }
 
     html_str = payload.decode("utf-8", errors="replace")
-    fast_text, _stats = fast_extract_html(html_str)
+    fast_text = primary(html_str) if primary else fast_extract_html(
+        html_str)[0]
     ok, err = validate_text(fast_text)
     conf = estimate_confidence(fast_text)
     critical, _cscore, hits = detect_critical(fast_text)
@@ -574,7 +576,7 @@ def extract_document(url: str, payload: bytes,
             "needs_verification": False, "rule_hits": hits,
         }
 
-    precise_text = precise_extract_html(html_str)
+    precise_text = (precise or precise_extract_html)(html_str)
     p_ok, p_err = validate_text(precise_text)
     if p_ok:
         text, success, error = precise_text, True, None

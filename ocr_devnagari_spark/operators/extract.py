@@ -70,11 +70,20 @@ def _pid() -> int:
 # Fused stage (default)
 # ---------------------------------------------------------------------------
 
-def _fused_batches(batches: Iterator[pd.DataFrame],
-                   threshold: float) -> Iterator[pd.DataFrame]:
+def _fused_batches(batches: Iterator[pd.DataFrame], threshold: float,
+                   primary: str | None,
+                   precise: str | None) -> Iterator[pd.DataFrame]:
     pid = _pid()
+    # Resolve named backends executor-side (the registry import runs once
+    # per task — the init-per-process amortization of the reference's
+    # backend.initialize(), easyocr_backend.py:52-84).
+    p_fn = pr_fn = None
+    if primary or precise:
+        from .registry import get_backend
+        p_fn = get_backend(primary) if primary else None
+        pr_fn = get_backend(precise) if precise else None
     for pdf in batches:
-        rows = [extract_document(u, h, threshold)
+        rows = [extract_document(u, h, threshold, p_fn, pr_fn)
                 for u, h in zip(pdf["url"], pdf["html"])]
         out = pd.DataFrame.from_records(rows)
         out["partition_id"] = pid
@@ -82,16 +91,22 @@ def _fused_batches(batches: Iterator[pd.DataFrame],
 
 
 def extract_fused(pages: DataFrame,
-                  threshold: float = CONFIDENCE_THRESHOLD) -> DataFrame:
+                  threshold: float = CONFIDENCE_THRESHOLD,
+                  primary: str | None = None,
+                  precise: str | None = None) -> DataFrame:
     """scan(url, html) → one narrow Arrow-batched map → extracted rows.
 
     Column pruning is explicit: only ``url`` and ``html`` enter the Python
     worker (never ``text``/``lang`` — at 100 TB the WET text column is a
     second copy of the corpus you must not move).
+
+    ``primary``/``precise`` select registered backends by name
+    (``operators/registry.py``); None = the built-in defaults.
     """
     src = pages.select("url", "html")
     return src.mapInPandas(
-        lambda it: _fused_batches(it, threshold), schema=EXTRACTED_SCHEMA)
+        lambda it: _fused_batches(it, threshold, primary, precise),
+        schema=EXTRACTED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,11 @@ task count ∝ input splits via ``maxPartitionBytes``), so on a real cluster
 — where 4N executors means 4× machines, not 4× oversubscribed threads —
 throughput scales with executors. The N=2 vs 4N=8 pair, which fits inside
 this host's linear region, is the faithful sandbox proxy for that.
+
+**spark-submit compliance.** The identical job also runs via a real
+`spark-submit --master local[N] --py-files <pkg.zip> submit_job.py`
+(bare session, no repo-path dependence); a second submission with a new
+job token resumes to `rows=0` (idempotent). See `submit_job.py`.
 """)
 
 

@@ -1,0 +1,66 @@
+"""Backend registry: dispatch, the M2-analog naive engine, purity of the
+default path under backend selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.corpus import gen_page
+from ocr_devnagari_spark.operators.extract import extract_fused
+from ocr_devnagari_spark.operators.registry import (
+    available_backends,
+    get_backend,
+    register_backend,
+)
+from ocr_devnagari_spark.plans.pipeline import read_pages
+
+
+def test_builtin_backends_registered():
+    assert {"fast", "precise", "naive"} <= set(available_backends())
+
+
+def test_unknown_backend_raises():
+    with pytest.raises(ValueError, match="unknown backend"):
+        get_backend("nope")
+    with pytest.raises(ValueError, match="already registered"):
+        register_backend("fast", lambda s: s)
+
+
+def test_naive_backend_keeps_boilerplate():
+    """The M2 analog is deliberately lower quality: it strips tags but
+    keeps nav/ad text — proving the registry carries a semantically
+    different second engine."""
+    row = gen_page(5)
+    assert not row["is_pdf"]
+    html = row["html"].decode()
+    fast = get_backend("fast")(html)
+    naive = get_backend("naive")(html)
+    assert row["expected_text"].split("\n")[0] in naive
+    assert len(naive) > len(fast)            # boilerplate retained
+    assert "cookies" in naive.lower()        # cookie banner not stripped
+
+
+def test_fused_with_named_backends(spark, corpus_dir):
+    pages = read_pages(spark, corpus_dir).limit(60)
+    default = {r.url: r.text for r in
+               extract_fused(pages).select("url", "text").collect()}
+    named = {r.url: r.text for r in
+             extract_fused(pages, primary="fast", precise="precise")
+             .select("url", "text").collect()}
+    assert default == named                  # names resolve to the builtins
+
+    naive = extract_fused(pages, primary="naive")
+    rows = naive.collect()
+    assert len(rows) == 60
+    # naive output differs from default on html rows (boilerplate kept)
+    diff = [r for r in rows
+            if r.backend_used != "pdf" and r.text != default[r.url]]
+    assert len(diff) > 0
+
+
+def test_unknown_backend_fails_in_stage(spark, corpus_dir):
+    pages = read_pages(spark, corpus_dir).limit(5)
+    with pytest.raises(Exception) as ei:
+        extract_fused(pages, primary="bogus").collect()
+    assert "unknown backend" in str(ei.value)
