@@ -43,6 +43,7 @@ from ocr_devnagari_spark.operators.multimodal import image_feature_stage
 from ocr_devnagari_spark.operators.similarity import (
     cosine_topk,
     knn_self_join,
+    label_centroids,
     lsh_bucket_topk,
 )
 
@@ -294,6 +295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              n_planes=6)
     q["sim_knn_pairs"] = sim_knn_pairs
 
+    # ---- grouped-UDF: per-label centroids (applyInPandas) ----
+    def emb_centroids(spark, sf_dir):
+        _ensure_shipped(spark)
+        return label_centroids(_t(spark, sf_dir, "embeddings"))
+    q["emb_centroids"] = emb_centroids
+
     # ---- array analytics over embeddings ----
     def emb_label_stats(spark, sf_dir):
         e = _t(spark, sf_dir, "embeddings")
@@ -376,6 +383,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("rn") == 1)
                 .select("event_type", "user_id", "total_value"))
     q["events_top_user"] = events_top_user
+
+    # ---- events sessionization (gap-based, pure window functions) ----
+    def events_sessionize(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lag("ts").over(w))
+        new_sess = (gap.isNull() | (gap > 1800)).cast("long")
+        sess = F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        per_event = ev.select("user_id", "event_id", "ts",
+                              sess.alias("session_no"))
+        return (per_event.groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events"),
+                     F.min("ts").alias("session_start"))
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n_sessions"),
+                     F.max("n_events").alias("max_session_events")))
+    q["events_sessionize"] = events_sessionize
 
     # ---- multimodal plumbing (rows-only) ----
     def multimodal_features(spark, sf_dir):
@@ -562,6 +588,11 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_dot_product(embedding::DOUBLE[], "
             "embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv))) "
             "DESC, vec_id ASC LIMIT 10"),
+        "emb_centroids": (
+            "SELECT label, dim, round(avg(v), 6) AS centroid FROM ("
+            "SELECT label, u.i AS dim, embedding[u.i]::DOUBLE AS v "
+            "FROM embeddings, LATERAL unnest(generate_series(1, 64)) "
+            "AS u(i)) GROUP BY label, dim"),
         "emb_label_stats": (
             "SELECT label, count(*) AS n_vecs, "
             "round(avg(embedding[1]::DOUBLE), 6) AS dim0_avg "
@@ -603,6 +634,18 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(value), 4) AS avg_value, "
             "count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"),
+        "events_sessionize": (
+            "SELECT user_id, count(*) AS n_sessions, "
+            "max(n_events) AS max_session_events FROM ("
+            "SELECT user_id, session_no, count(*) AS n_events FROM ("
+            "SELECT user_id, event_id, sum(new_sess) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS session_no FROM ("
+            "SELECT user_id, event_id, ts, CAST(COALESCE("
+            "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) > 1800, true) AS BIGINT) AS new_sess "
+            "FROM events)) GROUP BY user_id, session_no) GROUP BY user_id"),
         "events_top_user": (
             "SELECT event_type, user_id, total_value FROM ("
             "SELECT event_type, user_id, round(sum(value), 4) "

@@ -103,6 +103,30 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
             .limit(k))
 
 
+def label_centroids(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid via ``applyInPandas`` (group-wise Pandas, numpy
+    mean per dimension) — the grouped-UDF counterpart of the ``mapInPandas``
+    stages. Emitted EXPLODED as (label, dim, centroid) rows: plain columns
+    survive any engine's value hashing, and downstream joins on (label, dim)
+    stay columnar. One shuffle on the group key, numpy inside."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        c = m.mean(axis=0)
+        return pd.DataFrame({
+            "label": pdf[label_col].iloc[0],
+            "dim": np.arange(1, len(c) + 1, dtype=np.int32),
+            "centroid": np.round(c, 6),
+        })
+
+    return emb.groupBy(label_col).applyInPandas(
+        centroid, schema="label int, dim int, centroid double")
+
+
 def knn_self_join(emb: DataFrame, threshold: float = 0.95,
                   n_planes: int = 8, seed: int = 42,
                   id_col: str = "vec_id",

@@ -1,0 +1,106 @@
+"""Streaming windowed aggregation + custom stateful operator.
+
+The reference is batch-only (SURVEY.md §2.9); these are the
+Structured-Streaming-native operators a continuously-landing crawl feed
+needs on top of the ingest path:
+
+- ``stream_windowed_event_counts`` — tumbling event-time windows with a
+  watermark for late data; append mode emits a window exactly once, when
+  the watermark passes its end (exactly-once finalized aggregates).
+- ``stream_running_user_counts`` — ``applyInPandasWithState``: arbitrary
+  per-key state (here a running per-user counter, the template for
+  dedup-state / rate-state / session-state operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Shared plan for batch AND streaming input (same DataFrame code —
+    the batch run is the oracle for the streaming run in tests)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming \
+        else events
+    return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("win.start").alias("win_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession, input_dir: str, output_dir: str,
+    checkpoint_dir: str, window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Drain available files; append-mode emits each window once, after the
+    watermark passes it. Windows still open stay in the state store and
+    emit on a later drain — tested against the batch plan as oracle."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    out = windowed_event_counts(events, window, watermark)
+    q = (out.writeStream.format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+_STATE_SCHEMA = "n_events LONG, total_value DOUBLE"
+_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _update_user_state(key, pdfs, state: GroupState):
+    import pandas as pd
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, round(total, 4)))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def stream_running_user_counts(
+    spark: SparkSession, input_dir: str, output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom stateful operator: per-user running totals that survive
+    across drains via the state store (``applyInPandasWithState``).
+    Each drain emits the updated totals for users seen in that drain."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    updated = (events.groupBy("user_id")
+               .applyInPandasWithState(
+                   _update_user_state,
+                   outputStructType=_OUT_SCHEMA,
+                   stateStructType=_STATE_SCHEMA,
+                   outputMode="update",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+    def _append(df, _epoch):
+        df.write.mode("append").parquet(output_dir)
+
+    # parquet sinks can't take update mode; foreachBatch bridges it (each
+    # micro-batch's updated rows append — downstream reads take the latest
+    # emission per key, exactly the reference's last-wins upsert shape).
+    q = (updated.writeStream
+         .foreachBatch(_append)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

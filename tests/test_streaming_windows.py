@@ -1,0 +1,89 @@
+"""Watermarked windowed aggregation + applyInPandasWithState, both checked
+against the identical batch plan as oracle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.streaming.windows import (
+    stream_running_user_counts,
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture()
+def landing(tmp_path, spark):
+    """events split into two time-ordered waves (late-data realism: wave 2
+    carries strictly later data, advancing the watermark past wave 1)."""
+    ev = spark.read.parquet(SRC).orderBy("ts")
+    n = ev.count()
+    mid_ts = ev.select("ts").collect()[n // 2][0]
+    d = str(tmp_path)
+    ev.filter(F.col("ts") <= F.lit(mid_ts)).coalesce(1).write.parquet(
+        f"{d}/wave1")
+    ev.filter(F.col("ts") > F.lit(mid_ts)).coalesce(1).write.parquet(
+        f"{d}/wave2")
+    land = f"{d}/landing"
+    os.makedirs(land)
+    return d, land
+
+
+def _land(src_dir, land_dir, tag):
+    for i, f in enumerate(sorted(os.listdir(src_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f),
+                        os.path.join(land_dir, f"{tag}-{i}.parquet"))
+
+
+def test_windowed_counts_match_batch(spark, landing, tmp_path):
+    d, land = landing
+    out, cp = f"{d}/out", f"{d}/cp"
+    _land(f"{d}/wave1", land, "w1")
+    stream_windowed_event_counts(spark, land, out, cp)
+    _land(f"{d}/wave2", land, "w2")
+    stream_windowed_event_counts(spark, land, out, cp)
+
+    emitted = spark.read.parquet(out)
+    batch = windowed_event_counts(spark.read.parquet(SRC))
+    # append mode only emits windows the watermark has closed; every
+    # emitted row must exactly equal the batch result for that window
+    b = {(r.win_start, r.event_type): (r.n_events, r.total_value)
+         for r in batch.collect()}
+    got = emitted.collect()
+    assert len(got) > 0
+    for r in got:
+        assert b[(r.win_start, r.event_type)] == (r.n_events,
+                                                  r.total_value), r
+    # no window emitted twice (exactly-once finalization)
+    assert emitted.count() == emitted.select(
+        "win_start", "event_type").distinct().count()
+
+
+def test_running_user_counts_stateful(spark, landing):
+    d, land = landing
+    out, cp = f"{d}/sout", f"{d}/scp"
+    _land(f"{d}/wave1", land, "w1")
+    stream_running_user_counts(spark, land, out, cp)
+    _land(f"{d}/wave2", land, "w2")
+    stream_running_user_counts(spark, land, out, cp)
+
+    # the LAST emission per user must equal the batch totals — state
+    # survived across two separate drains via the state store
+    emitted = spark.read.parquet(out)
+    last = {r.user_id: (r.n_events, r.total_value)
+            for r in emitted.orderBy("n_events").collect()}
+    batch = (spark.read.parquet(SRC).groupBy("user_id")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))),
+                          4).alias("tv")))
+    for r in batch.collect():
+        n, tv = last[r.user_id]
+        assert n == r.n
+        assert abs(tv - r.tv) < 1e-6
