@@ -443,7 +443,8 @@ def _crit_expr(c: str) -> str:
     v = f"CAST(len(regexp_extract_all({c}, '॥\\s*\\d+\\s*॥')) > 0 AS INT)"
     b = f"CAST(len(regexp_extract_all({c}, '(ॐ|स्वाहा|श्लोक)')) > 0 AS INT)"
     cd = (f"CAST(len(regexp_extract_all({c}, "
-          f"'(def |return |function\\s*\\(|;\\s*}})')) > 0 AS INT)")
+          f"'(def |return |function\\s*\\(|;\\s*}}|"
+          f"class\\s+\\w+\\s*[:{{])')) > 0 AS INT)")
     nm = f"CAST(len(regexp_extract_all({c}, '\\b\\d{{3,}}\\b')) >= 6 AS INT)"
     fam = f"({v} + {b} + {cd} + {nm})"
     mx = (f"greatest({v} * 0.8, {b} * 0.9, {cd} * 0.75, {nm} * 0.7)")
@@ -451,14 +452,9 @@ def _crit_expr(c: str) -> str:
     return f"CASE WHEN {fam} > 0 THEN {score} ELSE 0.0 END"
 
 
-_STOP = {
-    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
-    "de": r"\b(der|die|das|und|nicht|mit|sich|auf|für|ist)\b",
-    "fr": r"\b(le|la|les|des|une|dans|pour|avec|est|que)\b",
-    "es": r"\b(el|los|las|una|en|para|con|por|es|que)\b",
-    "hi": r"(और|का|की|के|में|से|है|यह|नहीं)",
-    "zh": r"(的|一|是|在|不|了|有|和|人|这)",
-}
+from ocr_devnagari_spark.functions.text import STOPWORDS as _STOP  # noqa: E402
+# (single source of truth — the oracle SQL is GENERATED from the same
+# patterns the engine uses, so an edit diverges loudly, not silently)
 
 
 def _stop_cnt(c: str, lang: str) -> str:

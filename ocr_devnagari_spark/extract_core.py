@@ -100,9 +100,11 @@ _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9\-]*)"
     r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>", re.S)
 
-# Content of these tags is raw text until the literal close tag (script may
-# contain '<'); they are all skip-tags, so content is dropped wholesale.
+# Content of these tags is raw text until the close tag (script may contain
+# '<'); they are all skip-tags, so content is dropped wholesale. Close-tag
+# search must be case-INSENSITIVE (</SCRIPT> is common in real crawl HTML).
 _RAWTEXT_TAGS = frozenset("script style textarea title".split())
+_RAWTEXT_CLOSE = {t: re.compile(f"</{t}\\s*>", re.I) for t in _RAWTEXT_TAGS}
 
 
 def iter_html_events(html: str):
@@ -141,13 +143,12 @@ def iter_html_events(html: str):
             continue
         yield START, (tag, attr_str, bool(selfclose))
         if tag in _RAWTEXT_TAGS and not selfclose:
-            close = find(f"</{tag}", i)
-            if close < 0:
+            m2 = _RAWTEXT_CLOSE[tag].search(html, i)
+            if m2 is None:
                 i = n                       # unterminated: rest is raw
             else:
-                gt = find(">", close)
                 yield END, tag
-                i = n if gt < 0 else gt + 1
+                i = m2.end()
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,7 @@ def confidence_expr(col: Column) -> Column:
 
 VERSE_RE = r"॥\s*\d+\s*॥"
 BIJA_RE = r"(ॐ|स्वाहा|श्लोक)"
-CODE_RE = r"(def |return |function\s*\(|;\s*\})"
+CODE_RE = r"(def |return |function\s*\(|;\s*\}|class\s+\w+\s*[:{])"
 NUM_RE = r"\b\d{3,}\b"
 
 

@@ -115,7 +115,6 @@ def extract_fused(pages: DataFrame,
 
 _FAST_SCHEMA = T.StructType([
     T.StructField("url", T.StringType(), False),
-    T.StructField("html", T.BinaryType(), True),   # passthrough for pass 2
     T.StructField("fast_text", T.StringType(), True),
     T.StructField("fast_valid", T.BooleanType(), False),
     T.StructField("fast_error", T.StringType(), True),
@@ -144,7 +143,7 @@ def _fast_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if is_pdf_payload(payload):
                 text = extract_pdf(payload)
                 ok, err = validate_text(text)
-                recs.append(dict(url=url, html=payload, fast_text=text,
+                recs.append(dict(url=url, fast_text=text,
                                  fast_valid=ok, fast_error=err,
                                  confidence=1.0 if ok else 0.5,
                                  critical=False, rule_hits={}, is_pdf=True,
@@ -155,7 +154,7 @@ def _fast_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ok, err = validate_text(text)
             conf = estimate_confidence(text)
             crit, _s, hits = detect_critical(text)
-            recs.append(dict(url=url, html=payload, fast_text=text,
+            recs.append(dict(url=url, fast_text=text,
                              fast_valid=ok, fast_error=err, confidence=conf,
                              critical=crit, rule_hits=hits, is_pdf=False,
                              partition_id=pid))
@@ -189,15 +188,20 @@ def extract_two_pass(pages: DataFrame,
                      threshold: float = CONFIDENCE_THRESHOLD) -> DataFrame:
     """Explicit fast → filter → precise → join-back ``coalesce`` topology.
 
-    The join-back is an equi left join on ``url``; because the escalated
-    side is ~8-15% of rows it is broadcast-eligible at moderate scale and
-    AQE right-sizes it at large scale (SURVEY.md §4.1 R1).
+    The persisted intermediate carries NO payload bytes (only the fast
+    results); the precise pass re-reads the source for the flagged ~8-15%
+    via a LEFT SEMI join on url — at scale that is a second, smaller scan,
+    never a cache of the corpus. The join-back is an equi left join on
+    ``url``, broadcast-eligible because the escalated side is small and
+    AQE-right-sized at large scale (SURVEY.md §4.1 R1).
     """
     fast = pages.select("url", "html").mapInPandas(_fast_pass, _FAST_SCHEMA)
     fast = fast.persist()
     esc = escalation_predicate(threshold)
-    flagged = fast.filter(esc).select("url", "html")
-    precise = flagged.mapInPandas(_precise_pass, _PRECISE_SCHEMA)
+    flagged_urls = fast.filter(esc).select("url")
+    precise_src = pages.select("url", "html").join(
+        flagged_urls, "url", "left_semi")
+    precise = precise_src.mapInPandas(_precise_pass, _PRECISE_SCHEMA)
     joined = fast.join(precise, "url", "left")
     escalated = F.col("precise_text").isNotNull() | (esc & ~F.col("is_pdf"))
     final_text = F.when(F.col("precise_valid") == F.lit(True),

@@ -45,13 +45,17 @@ def _query_lit(query_vec) -> Column:
 def cosine_topk(emb: DataFrame, query_vec, k: int = 10,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    """Exact top-k by cosine similarity; deterministic tie-break on id.
+
+    Ordering uses the EXACT cosine (rounding only the emitted value) so
+    the k-boundary selection agrees with any exact-arithmetic oracle.
+    """
     q = _query_lit(query_vec)
     v = F.col(vec_col).cast("array<double>")
-    return (emb.select(F.col(id_col),
-                       F.round(cosine_col(v, q), 6).alias("cosine"))
-            .orderBy(F.desc("cosine"), F.col(id_col))
-            .limit(k))
+    return (emb.select(F.col(id_col), cosine_col(v, q).alias("_cos"))
+            .orderBy(F.desc("_cos"), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
 
 
 # ---------------------------------------------------------------------------
@@ -97,10 +101,10 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
     bucketed = emb.withColumn("bucket", bucket_col(v, planes))
     cand = bucketed.filter(F.col("bucket").isin(probes))
     q = _query_lit(query_vec)
-    return (cand.select(F.col(id_col),
-                        F.round(cosine_col(v, q), 6).alias("cosine"))
-            .orderBy(F.desc("cosine"), F.col(id_col))
-            .limit(k))
+    return (cand.select(F.col(id_col), cosine_col(v, q).alias("_cos"))
+            .orderBy(F.desc("_cos"), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
 
 
 def label_centroids(emb: DataFrame, id_col: str = "vec_id",
@@ -134,8 +138,11 @@ def knn_self_join(emb: DataFrame, threshold: float = 0.95,
     """Embedding-cosine near-dup pairs: all-pairs ONLY within LSH buckets
     (bucket join ⇒ candidate volume ∝ Σ bucket², not n²), exact cosine
     filter afterwards."""
-    planes = hyperplanes(
-        emb.select(F.size(vec_col)).first()[0], n_planes, seed)
+    head = emb.select(F.size(vec_col)).first()
+    if head is None:            # empty input → empty pairs, not a crash
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    planes = hyperplanes(head[0], n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     b = emb.select(F.col(id_col).alias("id"), v.alias("v"),
                    bucket_col(v, planes).alias("bucket"))

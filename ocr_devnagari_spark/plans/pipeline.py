@@ -136,6 +136,16 @@ def run_extract_job(
     out = IceboxTable(cfg.extracted_table)
     lin = IceboxTable(cfg.lineage_table)
     if job_token and job_token in out.applied_tokens():
+        # Heal the crash window between output commit and lineage append:
+        # if THIS token's snapshot committed but its lineage never landed,
+        # recompute lineage from the snapshot's own added files.
+        lin_token = f"lineage-{job_token}"
+        if lin_token not in lin.applied_tokens():
+            m = out.snapshot_for_token(job_token)
+            if m and m.get("added_files"):
+                lin.append(
+                    lineage_rows(spark.read.parquet(*m["added_files"]),
+                                 m["snapshot_id"]), job_token=lin_token)
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
 
     pages = read_pages(spark, corpus_dir)

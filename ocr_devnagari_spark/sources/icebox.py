@@ -60,16 +60,39 @@ class IceboxTable:
         m = self.current_manifest()
         return set(m.get("applied_tokens", [])) if m else set()
 
+    def snapshot_for_token(self, token: str) -> dict | None:
+        """The manifest of the snapshot whose commit FIRST applied
+        ``token`` (walking parent links from the current snapshot).
+        Lets a re-run heal work that depends on that snapshot's
+        ``added_files`` (e.g. lineage written after the commit)."""
+        walk = self.current_manifest()
+        mdir = os.path.join(self.path, "manifests")
+        while walk is not None and token in walk.get("applied_tokens", []):
+            parent_id = walk.get("parent_snapshot_id")
+            if parent_id is None:
+                return walk
+            ppath = os.path.join(mdir, f"manifest-{parent_id:08d}.json")
+            if not os.path.exists(ppath):
+                return walk
+            with open(ppath) as f:
+                parent = json.load(f)
+            if token not in parent.get("applied_tokens", []):
+                return walk
+            walk = parent
+        return None
+
     def _commit(self, files: list, row_count: int, token: str | None) -> int:
         parent = self.current_manifest()
         snap = (parent["snapshot_id"] + 1) if parent else 1
         tokens = set(parent.get("applied_tokens", [])) if parent else set()
         if token:
             tokens.add(token)
+        parent_files = set(parent["files"]) if parent else set()
         manifest = {
             "snapshot_id": snap,
             "parent_snapshot_id": parent["snapshot_id"] if parent else None,
             "files": sorted(files),
+            "added_files": sorted(set(files) - parent_files),
             "row_count": row_count,
             "applied_tokens": sorted(tokens),
         }
@@ -138,6 +161,11 @@ class IceboxTable:
         """
         if job_token and job_token in self.applied_tokens():
             return self.snapshot_id()
+        if df.groupBy(key).count().filter("count > 1").limit(1).count():
+            raise ValueError(
+                f"merge_upsert: incoming batch has duplicate {key!r} values;"
+                " DataFrames are unordered so no deterministic last-wins"
+                " exists within a batch — dedupe upstream first")
         if not self.exists():
             return self.overwrite(df, job_token)
         old = self.read(spark)
@@ -162,11 +190,29 @@ class IceboxTable:
 
     # -- maintenance (K5 cache-GC analog: cache.py:228-254) ------------------
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop manifests older than the last ``keep_last`` and delete data
-        files no surviving manifest references. Returns #files removed."""
+        """Drop manifests not reachable from ``_current`` (walking parent
+        links up to ``keep_last`` snapshots) and delete data files no
+        surviving manifest references. Reachability — NOT filename order —
+        defines liveness: a crashed commit may have left a manifest newer
+        than ``_current`` on disk; it was never visible and is an orphan,
+        while the current snapshot must always survive. Returns #files
+        removed."""
         mdir = os.path.join(self.path, "manifests")
         manifests = sorted(glob.glob(os.path.join(mdir, "manifest-*.json")))
-        live = manifests[-keep_last:] if keep_last else []
+        live: list = []
+        cur = self.current_manifest()
+        by_id = {}
+        for mp in manifests:
+            with open(mp) as f:
+                by_id[json.load(f)["snapshot_id"]] = mp
+        walk = cur
+        while walk is not None and len(live) < max(keep_last, 1):
+            live.append(by_id[walk["snapshot_id"]])
+            parent_id = walk.get("parent_snapshot_id")
+            if parent_id is None or parent_id not in by_id:
+                break
+            with open(by_id[parent_id]) as f:
+                walk = json.load(f)
         referenced = set()
         for mp in live:
             with open(mp) as f:
