@@ -85,6 +85,9 @@ VERSE_TOKENS = ["॥ {} ॥", "ॐ", "श्लोक {}"]
 PDF_MAGIC = b"FPDF1\n"
 BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
+# matches '<p', '</div', '<SCRIPT' … (tag-open + name only, attrs untouched)
+_TAGNAME_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*")
+
 N_HOSTS = 400
 
 
@@ -197,6 +200,10 @@ def gen_html_doc(doc_id: int, rng: random.Random, lang: str) -> dict:
         for i in range(n_paras):
             para = _paragraph(rng, words)
             para_html = para
+            # Occasional HTML entities (extractor must decode them).
+            if rng.random() < 0.10:
+                para_html += " Q&amp;A &lt;notes&gt; included."
+                para += " Q&A <notes> included."
             # Occasional inline link inside content (low link density).
             if rng.random() < 0.25:
                 w = rng.choice(words)
@@ -247,9 +254,14 @@ def gen_html_doc(doc_id: int, rng: random.Random, lang: str) -> dict:
 
     html = (f'<!DOCTYPE html><html lang="{lang}"><head>'
             f"<title>doc {doc_id}</title>"
-            f'<script>var x={doc_id};</script>'
+            f'<script>var x={doc_id}; if (x < 99 && x > 1) {{ x = 0; }}'
+            f"</script>"
             f'<style>.ad-banner{{color:red}}</style>'
             f"</head><body>{body}</body></html>")
+    # ~10% of docs carry UPPERCASE tag names (real crawl HTML does; the
+    # extractor must normalize — regression class of the </SCRIPT> bug).
+    if rng.random() < 0.10:
+        html = _TAGNAME_RE.sub(lambda m: m.group(0).upper(), html)
 
     expected = "\n".join(b for b in main_blocks if b)
     return {
