@@ -324,6 +324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count("*").alias("count_order")))
     q["tpch_q1"] = tpch_q1
 
+    def tpch_q6(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                          & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                          & F.col("l_discount").between(0.03, 0.07)
+                          & (F.col("l_quantity") < 24))
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * F.col("l_discount")), 2)
+                     .alias("revenue"),
+                     F.count("*").alias("n_rows")))
+    q["tpch_q6"] = tpch_q6
+
     def tpch_q3_top10(spark, sf_dir):
         c = _t(spark, sf_dir, "customer")
         o = _t(spark, sf_dir, "orders")
@@ -603,6 +615,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"),
+        "tpch_q6": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "count(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"),
         "tpch_q3_top10": (
             "SELECT o_orderkey, o_orderdate, o_orderpriority, "
             "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "

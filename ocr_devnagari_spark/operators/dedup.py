@@ -101,11 +101,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 32,
                        n: int = 3) -> DataFrame:
     """k min-hashes per doc in ONE aggregation pass over exploded shingles.
-    Hash family: xxhash64 with k distinct prefixes (deterministic, JVM-side;
-    one partial+final agg — map-side combine keeps the shuffle tiny)."""
-    sh = shingles(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"),
-                                      F.col("shingle")))).alias(f"h{i}")
+
+    Each shingle's STRING is hashed once (``xxhash64(shingle)``); the
+    k-member family then rehashes the resulting long with the family index
+    (``xxhash64(h, i)`` — fixed-width numeric hashing, far cheaper than k
+    independent string hashes and safe under ANSI arithmetic). One
+    partial+final agg — map-side combine keeps the shuffle at k longs/doc.
+    """
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle"))
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
             for i in range(k)]
     return sh.groupBy("id").agg(*aggs)
 
