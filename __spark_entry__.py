@@ -238,6 +238,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         quality_score(F.col("text")).alias("quality"))
     q["quality_scores"] = quality_scores
 
+    # ---- text analysis: Gopher-style quality gate ----
+    def gopher_gate(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import (
+            gopher_pass,
+            mean_word_length,
+        )
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.round(mean_word_length(F.col("text")), 6).alias("mean_wlen"),
+            gopher_pass(F.col("text")).alias("keep"))
+    q["gopher_gate"] = gopher_gate
+
     # ---- text analysis: token counting ----
     def token_counts(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
@@ -574,6 +587,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": (
             f"SELECT doc_id, {_quality_expr('text')} AS quality "
             "FROM documents"),
+        "gopher_gate": (
+            "SELECT doc_id, round(CASE WHEN toks > 0 THEN chars * 1.0 / toks"
+            " ELSE 0.0 END, 6) AS mean_wlen, "
+            "(toks BETWEEN 40 AND 100000) "
+            "AND (CASE WHEN toks > 0 THEN chars * 1.0 / toks ELSE 0.0 END) "
+            "BETWEEN 3.0 AND 10.0 "
+            "AND (CASE WHEN toks > 0 THEN syms * 1.0 / toks ELSE 1.0 END) "
+            "< 0.1 AS keep FROM ("
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS toks, "
+            "length(regexp_replace(text, '\\s+', '', 'g')) AS chars, "
+            "len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS syms "
+            "FROM documents)"),
         "token_counts": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS ws_tokens, "

@@ -169,6 +169,27 @@ def quality_score(col: Column) -> Column:
                    + F.lit(0.15) * (F.lit(1.0) - punct_pen), 6)
 
 
+def mean_word_length(col: Column) -> Column:
+    """Non-whitespace chars / whitespace tokens (0 when empty)."""
+    toks = token_count(col)
+    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.when(toks > 0, chars / toks).otherwise(F.lit(0.0))
+
+
+def gopher_pass(col: Column, min_words: int = 40,
+                max_words: int = 100_000) -> Column:
+    """Gopher-style document quality gate (Rae et al. 2021, public):
+    word-count bounds, mean word length in [3, 10], and a symbol-to-word
+    ratio below 0.1 (hash/ellipsis junk). True = keep for training."""
+    toks = token_count(col)
+    mwl = mean_word_length(col)
+    symbols = F.regexp_count(col, F.lit(r"[#…]|\.\.\."))
+    sym_ratio = F.when(toks > 0, symbols / toks).otherwise(F.lit(1.0))
+    return (toks.between(min_words, max_words)
+            & mwl.between(3.0, 10.0)
+            & (sym_ratio < 0.1))
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
