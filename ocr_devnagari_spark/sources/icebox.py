@@ -189,6 +189,24 @@ class IceboxTable:
         return spark.read.parquet(*m["files"])
 
     # -- maintenance (K5 cache-GC analog: cache.py:228-254) ------------------
+    def compact(self, spark: SparkSession,
+                target_file_mb: int = 256) -> int:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` parity).
+
+        Many incremental commits → many small files → scan overhead at
+        read time. Rewrites the current snapshot's data into files sized
+        ~``target_file_mb`` and commits it as a new snapshot; old files
+        become unreferenced and are collected by ``expire_snapshots``.
+        Returns the new snapshot id (no-op if already ≤1 file).
+        """
+        m = self.current_manifest()
+        if m is None or len(m["files"]) <= 1:
+            return self.snapshot_id()
+        total_bytes = sum(os.path.getsize(f) for f in m["files"])
+        n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = self.read(spark).coalesce(n_out)
+        files, rows = self._stage_write(df)
+        return self._commit(files, rows, token=None)
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop manifests not reachable from ``_current`` (walking parent
         links up to ``keep_last`` snapshots) and delete data files no

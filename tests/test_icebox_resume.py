@@ -89,6 +89,23 @@ def test_pending_pages_empty_checkpoint(spark, corpus_dir, work_root):
     assert pending_pages(pages, out, spark).count() == pages.count()
 
 
+def test_compact_small_files(spark, work_root):
+    t = IceboxTable(f"{work_root}/tbl")
+    for i in range(6):                      # six tiny incremental commits
+        t.append(spark.range(i * 100, (i + 1) * 100).repartition(3))
+    m = t.current_manifest()
+    assert len(m["files"]) >= 12
+    before = {r.id for r in t.read(spark).collect()}
+    snap = t.compact(spark)
+    assert snap == m["snapshot_id"] + 1
+    m2 = t.current_manifest()
+    assert len(m2["files"]) < len(m["files"])
+    assert {r.id for r in t.read(spark).collect()} == before
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 12                    # old small files collected
+    assert {r.id for r in t.read(spark).collect()} == before
+
+
 def test_expire_snapshots(spark, work_root):
     t = IceboxTable(f"{work_root}/tbl")
     df = spark.range(5)
