@@ -88,7 +88,11 @@ def main() -> None:
     reps = int(os.environ.get("OCRDS_SCALE_REPS", "4"))
 
     levels = (2, 8, 32)
-    spark_res = {c: spark_run(c, corpus, n_docs, reps) for c in levels}
+    # more reps at the small levels: a single hypervisor stall otherwise
+    # poisons the denominator of the efficiency ratio
+    per_level = {2: reps + 2, 8: reps + 2, 32: reps}
+    spark_res = {c: spark_run(c, corpus, n_docs, per_level[c])
+                 for c in levels}
 
     import pyarrow.dataset as ds
     tbl = ds.dataset(os.path.join(corpus, "pages.parquet")).to_table(
