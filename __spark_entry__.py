@@ -413,8 +413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessionize(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_timestamp("ts") - F.unix_timestamp(
-            F.lag("ts").over(w))
+        # fractional epoch seconds (NTZ → timestamp → double; session TZ is
+        # UTC) — unix_timestamp truncates to whole seconds and diverges from
+        # DuckDB epoch() when a gap straddles the 1800s boundary
+        def _epoch(c):
+            return F.col(c).cast("timestamp").cast("double")
+        gap = _epoch("ts") - F.lag(_epoch("ts")).over(w)
         new_sess = (gap.isNull() | (gap > 1800)).cast("long")
         sess = F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
@@ -448,29 +452,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, same table names as pre-registered views)
 # ---------------------------------------------------------------------------
 
-_VALID_SQL = (
-    "length(trim({c})) >= 20 "
-    "AND NOT regexp_matches(lower(substring(trim({c}), 1, 300)), "
-    "'(cannot process|unable to|i can''t|i cannot|no text|error occurred|"
-    "not readable|failed to|as an ai|i''m sorry|sorry,|no content|"
-    "blank page)') "
-    "AND regexp_matches(trim({c}), '[\\p{{L}}\\p{{N}}]')")
+# Oracle SQL is GENERATED from the engine's own regex constants
+# (functions/text.py) wherever a constant exists — an edit to a pattern
+# diverges the oracle loudly (query fails) instead of silently.
+from ocr_devnagari_spark.functions.text import (  # noqa: E402
+    ALNUM_RE as _ALNUM,
+    BIJA_RE as _BIJA,
+    CODE_RE as _CODE,
+    ERROR_PATTERN_RE as _ERRPAT,
+    GARBLED_RE as _GARBLED,
+    NUM_RE as _NUM,
+    VERSE_RE as _VERSE,
+)
 
-_CONF_SQL = (
-    "greatest(0.5, 1.0 - 0.15 * ("
-    "CAST(regexp_matches({c}, '[^\\p{{L}}\\p{{N}}_\\s]{{5,}}') AS INT) + "
-    "CAST(length({c}) < 50 AS INT) + "
-    "CAST((CASE WHEN length({c}) > 0 THEN "
-    "length(regexp_replace({c}, '[^\\p{{L}}]', '', 'g')) * 1.0 / length({c}) "
-    "ELSE 0.0 END) < 0.3 AS INT)))")
+
+def _sq(pat: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+def _valid_sql(c: str) -> str:
+    return ("length(trim(%s)) >= 20 "
+            "AND NOT regexp_matches(lower(substring(trim(%s), 1, 300)), "
+            "'%s') AND regexp_matches(trim(%s), '%s')"
+            % (c, c, _sq(_ERRPAT), c, _sq(_ALNUM)))
+
+
+def _conf_sql(c: str) -> str:
+    return ("greatest(0.5, 1.0 - 0.15 * ("
+            "CAST(regexp_matches(%s, '%s') AS INT) + "
+            "CAST(length(%s) < 50 AS INT) + "
+            "CAST((CASE WHEN length(%s) > 0 THEN "
+            "length(regexp_replace(%s, '[^\\p{L}]', '', 'g')) * 1.0 "
+            "/ length(%s) ELSE 0.0 END) < 0.3 AS INT)))"
+            % (c, _sq(_GARBLED), c, c, c, c))
 
 def _crit_expr(c: str) -> str:
-    v = f"CAST(len(regexp_extract_all({c}, '॥\\s*\\d+\\s*॥')) > 0 AS INT)"
-    b = f"CAST(len(regexp_extract_all({c}, '(ॐ|स्वाहा|श्लोक)')) > 0 AS INT)"
-    cd = (f"CAST(len(regexp_extract_all({c}, "
-          f"'(def |return |function\\s*\\(|;\\s*}}|"
-          f"class\\s+\\w+\\s*[:{{])')) > 0 AS INT)")
-    nm = f"CAST(len(regexp_extract_all({c}, '\\b\\d{{3,}}\\b')) >= 6 AS INT)"
+    v = f"CAST(len(regexp_extract_all({c}, '{_sq(_VERSE)}')) > 0 AS INT)"
+    b = f"CAST(len(regexp_extract_all({c}, '{_sq(_BIJA)}')) > 0 AS INT)"
+    cd = f"CAST(len(regexp_extract_all({c}, '{_sq(_CODE)}')) > 0 AS INT)"
+    nm = f"CAST(len(regexp_extract_all({c}, '{_sq(_NUM)}')) >= 6 AS INT)"
     fam = f"({v} + {b} + {cd} + {nm})"
     mx = (f"greatest({v} * 0.8, {b} * 0.9, {cd} * 0.75, {nm} * 0.7)")
     score = f"least(1.0, {mx} * (1.0 + least({fam} - 1, 5) * 0.05))"
@@ -533,8 +554,8 @@ WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.05
 
 def oracle_sql() -> dict[str, str]:
     t2 = f"({_SPIKED_SQL})"
-    route = (f"CASE WHEN NOT ({_VALID_SQL.format(c='t2')}) "
-             f"OR ({_CONF_SQL.format(c='t2')}) < 0.85 "
+    route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
+             f"OR ({_conf_sql('t2')}) < 0.85 "
              f"OR ({_crit_expr('t2')}) >= 0.6 "
              f"THEN 'fast+precise' ELSE 'fast' END")
     return {
@@ -544,9 +565,9 @@ def oracle_sql() -> dict[str, str]:
             "'fast' AS backend_used, true AS success FROM documents"),
         "p2_validate": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE "
-            + _VALID_SQL.format(c="text")),
+            + _valid_sql("text")),
         "p5_confidence": (
-            f"SELECT doc_id, round({_CONF_SQL.format(c='text')}, 6) "
+            f"SELECT doc_id, round({_conf_sql('text')}, 6) "
             "AS confidence FROM documents"),
         "m6_critical": (
             f"SELECT doc_id, round({_crit_expr('t2')}, 6) AS crit_score "

@@ -336,7 +336,7 @@ def gen_page(doc_id: int) -> dict:
     else:
         raw_text = _canon(re.sub(
             r"<script.*?</script>|<style.*?</style>|<[^>]+>", " ",
-            doc["html"].decode("utf-8"), flags=re.S))
+            doc["html"].decode("utf-8"), flags=re.S | re.I))
     return {
         "url": url,
         "warc_ts": warc_ts,

@@ -279,6 +279,12 @@ class Node:
     children: list = field(default_factory=list)   # Node | str
 
 
+_MAX_TREE_DEPTH = 120   # bounds recursion in the tree walks below; real
+#                         content never nests this deep — deeper tags attach
+#                         to the node at the cap (graceful flattening, no
+#                         RecursionError on hostile 1000-deep nesting)
+
+
 def parse_tree(html_str: str) -> Node:
     root = Node("document")
     stack = [root]
@@ -298,7 +304,8 @@ def parse_tree(html_str: str) -> Node:
                     continue
                 node = Node(tag, attr_str)
                 stack[-1].children.append(node)
-                if tag not in VOID_TAGS and not selfclose:
+                if (tag not in VOID_TAGS and not selfclose
+                        and len(stack) < _MAX_TREE_DEPTH):
                     stack.append(node)
             else:
                 tag = payload
@@ -387,13 +394,16 @@ def precise_extract_html(html_str: str) -> str:
     (stricter threshold than the fast path, since we already scoped to the
     content root).
     """
-    root = parse_tree(html_str)
-    content = _best_content_root(root)
-    out: list[str] = []
-    cur: list[str] = []
-    _emit_blocks(content, out, cur, False)
-    if cur:
-        out.append(canon("".join(cur)))
+    try:
+        root = parse_tree(html_str)
+        content = _best_content_root(root)
+        out: list[str] = []
+        cur: list[str] = []
+        _emit_blocks(content, out, cur, False)
+        if cur:
+            out.append(canon("".join(cur)))
+    except Exception:
+        return ""          # fail-safe: caller falls back to the fast text
     texts = [t for t in out if t]
     # Rule cascade step 3: inside the content root almost everything is
     # content; drop only pure link lists (detected lexically: very short

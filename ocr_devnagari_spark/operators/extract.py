@@ -203,7 +203,7 @@ def extract_two_pass(pages: DataFrame,
         flagged_urls, "url", "left_semi")
     precise = precise_src.mapInPandas(_precise_pass, _PRECISE_SCHEMA)
     joined = fast.join(precise, "url", "left")
-    escalated = F.col("precise_text").isNotNull() | (esc & ~F.col("is_pdf"))
+    escalated = F.col("precise_text").isNotNull() | esc   # esc excludes PDFs
     final_text = F.when(F.col("precise_valid") == F.lit(True),
                         F.col("precise_text")).otherwise(F.col("fast_text"))
     final_ok = F.when(F.col("precise_valid") == F.lit(True), F.lit(True)) \

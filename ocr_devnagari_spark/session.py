@@ -46,7 +46,9 @@ def package_zip(out_dir: str = "/tmp") -> str:
             h.update(f.read())
     zpath = os.path.join(out_dir, f"ocr_devnagari_spark-{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        tmp = f"{zpath}.{os.getpid()}.tmp"   # unique per process: two
+        #                                      concurrent builders must not
+        #                                      interleave writes to one tmp
         parent = os.path.dirname(pkg_dir)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for fp in sorted(entries):

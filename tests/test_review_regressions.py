@@ -74,6 +74,30 @@ def test_merge_upsert_rejects_duplicate_keys(spark, work_root):
         t.merge_upsert(spark, dup, "k")
 
 
+def test_deep_nesting_does_not_crash():
+    """1500-deep tag nesting must not RecursionError out of the precise
+    path (it would kill the whole Spark task at web scale)."""
+    deep = ("<div>" * 1500
+            + "<p>some content that is long enough to validate okay</p>"
+            + "</div>" * 1500)
+    # force escalation by adding a critical pattern
+    payload = (deep + "<pre><code>def f(x): return x</code></pre>").encode()
+    r = extract_document("u", payload)
+    assert r["backend_used"] in ("fast", "fast+precise")
+    assert "some content" in r["text"]
+
+
+def test_wet_text_has_no_script_leak():
+    """Uppercase <SCRIPT> docs must not leak JS into the WET text column."""
+    from ocr_devnagari_spark.corpus import gen_page
+    leaks = 0
+    for i in range(600):
+        row = gen_page(i)
+        if not row["is_pdf"] and "var x=" in row["text"]:
+            leaks += 1
+    assert leaks == 0
+
+
 def test_knn_empty_input(spark):
     from ocr_devnagari_spark.operators.similarity import knn_self_join
     empty = spark.createDataFrame(
