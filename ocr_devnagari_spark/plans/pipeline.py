@@ -125,6 +125,7 @@ def run_extract_job(
     job_token: str | None = None,
     rebalance_mode: str = "none",
     limit_pending: int | None = None,
+    dedup: str = "none",
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counters.
 
@@ -170,6 +171,23 @@ def run_extract_job(
               .otherwise(0)).alias("escalated"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+    if dedup == "exact":
+        # In-job exact dedup of the EXTRACTED text — MARK, don't drop:
+        # every url still commits (so resume converges to zero pending),
+        # but non-canonical copies carry ``duplicate_of`` = the min url
+        # with the same md5 fingerprint. Consumers filter
+        # ``duplicate_of IS NULL`` for the deduplicated corpus. Dropping
+        # rows instead would leave the dropped urls pending forever and
+        # re-commit them as duplicates on the next resume.
+        from pyspark.sql import Window
+        keeper = F.min("url").over(Window.partitionBy(F.md5("text")))
+        result = result.withColumn(
+            "duplicate_of",
+            F.when(F.col("url") == keeper,
+                   F.lit(None).cast("string")).otherwise(keeper))
+    elif dedup != "none":
+        raise ValueError(f"unknown dedup mode {dedup!r}")
+
     # ONE computation pass: extraction streams straight into staged parquet
     # files (task-level atomic; never through driver memory — a
     # localCheckpoint here would cache the entire output, impossible at
@@ -184,5 +202,9 @@ def run_extract_job(
     staged = spark.read.parquet(*files)
     lin.append(lineage_rows(staged, snap),
                job_token=f"lineage-{job_token}" if job_token else None)
-    return {"snapshot_id": snap, "rows": n, "resumed": False,
-            "metrics": metrics}
+    summary = {"snapshot_id": snap, "rows": n, "resumed": False,
+               "metrics": metrics}
+    if dedup == "exact":
+        summary["dedup_marked"] = staged.filter(
+            F.col("duplicate_of").isNotNull()).count()
+    return summary

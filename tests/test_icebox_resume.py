@@ -89,6 +89,44 @@ def test_pending_pages_empty_checkpoint(spark, corpus_dir, work_root):
     assert pending_pages(pages, out, spark).count() == pages.count()
 
 
+def test_in_job_exact_dedup(spark, corpus_dir, work_root, tmp_path):
+    """dedup='exact' drops duplicate extracted texts inside the job,
+    keeping the lexicographically-first url per fingerprint."""
+    import glob
+    import shutil
+
+    # corpus with planted duplicate pages (same html, new urls)
+    dup_dir = str(tmp_path / "dupcorpus")
+    shutil.copytree(corpus_dir, dup_dir)
+    import pyarrow.parquet as pq
+    src = glob.glob(f"{dup_dir}/pages.parquet")[0]
+    t = pq.read_table(src)
+    import pyarrow as pa
+    clones = t.slice(0, 50).set_column(
+        0, "url", pa.array(["zzz-" + u for u in
+                            t.column("url").to_pylist()[:50]]))
+    pq.write_table(pa.concat_tables([t, clones]), src)
+
+    cfg = ExtractConfig(root_dir=work_root)
+    r = run_extract_job(spark, dup_dir, cfg, job_token="d",
+                        dedup="exact")
+    out = IceboxTable(cfg.extracted_table).read(spark)
+    n_docs = t.num_rows
+    # mark-don't-drop: every url commits (resume convergence preserved)
+    assert r["rows"] == n_docs + 50 == out.count()
+    assert r["dedup_marked"] >= 50           # clones + natural empty dups
+    # the deduplicated view has unique fingerprints
+    clean = out.filter(F.col("duplicate_of").isNull())
+    assert clean.select(F.md5("text")).distinct().count() == clean.count()
+    # clone urls sort after originals → clones are the marked copies
+    assert out.filter(out.url.startswith("zzz-")
+                      & F.col("duplicate_of").isNull()).count() == 0
+    # and a resume run is a no-op (the key property dropping would break)
+    r2 = run_extract_job(spark, dup_dir, cfg, job_token="d2",
+                         dedup="exact")
+    assert r2["rows"] == 0
+
+
 def test_compact_small_files(spark, work_root):
     t = IceboxTable(f"{work_root}/tbl")
     for i in range(6):                      # six tiny incremental commits
