@@ -591,8 +591,11 @@ def oracle_sql() -> dict[str, str]:
         "a1_lang_histogram": (
             "SELECT lang, count(*) AS n_docs, "
             "round(avg(n_chars), 2) AS avg_chars, "
-            "sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens "
-            "FROM documents GROUP BY lang"),
+            # CAST: DuckDB sum(INTEGER) yields HUGEINT (int128); Spark's
+            # sum(int) is BIGINT — the driver's typed value-hash differs
+            # even when every value matches.
+            "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
+            "AS total_tokens FROM documents GROUP BY lang"),
         "o1_topk_chars": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id ASC LIMIT 20"),

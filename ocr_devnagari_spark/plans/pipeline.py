@@ -118,6 +118,48 @@ def lineage_rows(extracted: DataFrame, snapshot_id: int) -> DataFrame:
             .select([f.name for f in LINEAGE_SCHEMA.fields]))
 
 
+def exact_dedup_mark(staged: DataFrame,
+                     prior: DataFrame | None = None) -> DataFrame:
+    """In-job exact dedup — MARK, don't drop: every url still commits (so
+    resume converges to zero pending); non-canonical copies carry
+    ``duplicate_of`` = the canonical url for their fingerprint. Consumers
+    filter ``duplicate_of IS NULL``. Dropping rows instead would leave the
+    dropped urls pending forever and re-commit them as duplicates on the
+    next resume.
+
+    Scale shape: the keeper map is a groupBy over the staged files'
+    (fingerprint, url) columns only — parquet column pruning means the
+    shuffle carries ~48-byte pairs, never the extracted text — and the
+    join-back broadcasts the (small, dup-fraction-sized) keeper map, so no
+    Exchange ever carries the payload (asserted by
+    ``test_dedup_mark_shuffles_no_payload``). ``prior`` = (fingerprint,
+    url) of canonical rows from already-committed snapshots; they take
+    precedence as keepers, so resumed / incremental runs mark cross-run
+    duplicates too.
+    """
+    grp = (staged.select("fingerprint", "url")
+           .groupBy("fingerprint")
+           .agg(F.min("url").alias("new_min"), F.count("*").alias("cnt")))
+    if prior is None:
+        grp = grp.withColumn("prior_url", F.lit(None).cast("string"))
+    else:
+        grp = grp.join(
+            prior.groupBy("fingerprint").agg(F.min("url").alias("prior_url")),
+            "fingerprint", "left")
+    keepers = (grp
+               .filter((F.col("cnt") > 1) | F.col("prior_url").isNotNull())
+               .select("fingerprint",
+                       F.coalesce("prior_url", "new_min").alias("keep_url")))
+    return (staged.drop("duplicate_of")
+            .join(F.broadcast(keepers), "fingerprint", "left")
+            .withColumn(
+                "duplicate_of",
+                F.when(F.col("keep_url").isNotNull()
+                       & (F.col("url") != F.col("keep_url")),
+                       F.col("keep_url")).cast("string"))
+            .select(*staged.columns))
+
+
 def run_extract_job(
     spark: SparkSession,
     corpus_dir: str,
@@ -171,22 +213,17 @@ def run_extract_job(
               .otherwise(0)).alias("escalated"),
         F.sum(F.length("text")).alias("total_chars"),
     )
-    if dedup == "exact":
-        # In-job exact dedup of the EXTRACTED text — MARK, don't drop:
-        # every url still commits (so resume converges to zero pending),
-        # but non-canonical copies carry ``duplicate_of`` = the min url
-        # with the same md5 fingerprint. Consumers filter
-        # ``duplicate_of IS NULL`` for the deduplicated corpus. Dropping
-        # rows instead would leave the dropped urls pending forever and
-        # re-commit them as duplicates on the next resume.
-        from pyspark.sql import Window
-        keeper = F.min("url").over(Window.partitionBy(F.md5("text")))
-        result = result.withColumn(
-            "duplicate_of",
-            F.when(F.col("url") == keeper,
-                   F.lit(None).cast("string")).otherwise(keeper))
-    elif dedup != "none":
+    if dedup not in ("none", "exact"):
         raise ValueError(f"unknown dedup mode {dedup!r}")
+
+    # The extracted schema is STABLE across dedup modes: ``fingerprint``
+    # (md5 of the text, computed JVM-side in the same narrow pass) and
+    # ``duplicate_of`` (null unless an in-job dedup marks the row) are
+    # always present, so a table mixing dedup and non-dedup commits never
+    # has parquet files with divergent schemas.
+    result = (result
+              .withColumn("fingerprint", F.md5(F.col("text").cast("binary")))
+              .withColumn("duplicate_of", F.lit(None).cast("string")))
 
     # ONE computation pass: extraction streams straight into staged parquet
     # files (task-level atomic; never through driver memory — a
@@ -197,6 +234,21 @@ def run_extract_job(
     if n == 0:
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
     metrics = obs.get
+
+    if dedup == "exact":
+        prior = None
+        if out.exists():
+            committed = out.read(spark)
+            if "fingerprint" in committed.columns:
+                prior = (committed
+                         .filter(F.col("duplicate_of").isNull())
+                         .select("fingerprint", "url"))
+        marked = exact_dedup_mark(spark.read.parquet(*files), prior)
+        marked_files, n = out.stage(marked)
+        import shutil
+        shutil.rmtree(os.path.dirname(files[0]),  # superseded, uncommitted
+                      ignore_errors=True)
+        files = marked_files
 
     snap = out.commit_staged(files, n, job_token=job_token)
     staged = spark.read.parquet(*files)

@@ -171,7 +171,12 @@ class IceboxTable:
         old = self.read(spark)
         merged = old.join(df.select(key).distinct(), key, "left_anti") \
                     .unionByName(df)
-        merged = merged.localCheckpoint()   # cut lineage before self-overwrite
+        # No checkpoint/cache: _stage_write lands in a fresh snap-<uuid>
+        # directory, so the read-old / write-new paths never collide, and
+        # the merged frame streams task-by-task straight to parquet —
+        # nothing is materialized in executor or driver memory (a
+        # localCheckpoint here would pin the ENTIRE merged table in
+        # executor storage, impossible at 100 TB).
         files, rows = self._stage_write(merged)
         return self._commit(files, rows, job_token)
 
@@ -207,14 +212,22 @@ class IceboxTable:
         df = self.read(spark).coalesce(n_out)
         files, rows = self._stage_write(df)
         return self._commit(files, rows, token=None)
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(self, keep_last: int = 1,
+                         grace_seconds: float = 3 * 24 * 3600.0) -> int:
         """Drop manifests not reachable from ``_current`` (walking parent
         links up to ``keep_last`` snapshots) and delete data files no
         surviving manifest references. Reachability — NOT filename order —
         defines liveness: a crashed commit may have left a manifest newer
         than ``_current`` on disk; it was never visible and is an orphan,
-        while the current snapshot must always survive. Returns #files
-        removed."""
+        while the current snapshot must always survive.
+
+        ``grace_seconds`` (Iceberg orphan-file-removal style, default 3
+        days): files/manifests younger than the grace window are NEVER
+        collected, so maintenance running concurrently with an in-flight
+        job cannot delete freshly ``stage()``-d files whose
+        ``commit_staged`` hasn't landed yet. Returns #files removed."""
+        import time
+        cutoff = time.time() - max(grace_seconds, 0.0)
         mdir = os.path.join(self.path, "manifests")
         manifests = sorted(glob.glob(os.path.join(mdir, "manifest-*.json")))
         live: list = []
@@ -237,10 +250,10 @@ class IceboxTable:
                 referenced.update(json.load(f)["files"])
         removed = 0
         for fp in glob.glob(os.path.join(self.path, "data", "*", "*.parquet")):
-            if fp not in referenced:
+            if fp not in referenced and os.path.getmtime(fp) < cutoff:
                 os.remove(fp)
                 removed += 1
         for mp in manifests:
-            if mp not in live:
+            if mp not in live and os.path.getmtime(mp) < cutoff:
                 os.remove(mp)
         return removed

@@ -90,8 +90,8 @@ def test_pending_pages_empty_checkpoint(spark, corpus_dir, work_root):
 
 
 def test_in_job_exact_dedup(spark, corpus_dir, work_root, tmp_path):
-    """dedup='exact' drops duplicate extracted texts inside the job,
-    keeping the lexicographically-first url per fingerprint."""
+    """dedup='exact' MARKS duplicate extracted texts inside the job
+    (duplicate_of = the lexicographically-first url per fingerprint)."""
     import glob
     import shutil
 
@@ -127,6 +127,85 @@ def test_in_job_exact_dedup(spark, corpus_dir, work_root, tmp_path):
     assert r2["rows"] == 0
 
 
+def test_in_job_dedup_marks_cross_run_duplicates(spark, corpus_dir,
+                                                 work_root, tmp_path):
+    """A resumed/incremental run must mark NEW rows that duplicate text
+    already committed by an earlier run (keeper = the committed url)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup_dir = str(tmp_path / "growcorpus")
+    shutil.copytree(corpus_dir, dup_dir)
+    cfg = ExtractConfig(root_dir=work_root)
+    run_extract_job(spark, dup_dir, cfg, job_token="r1", dedup="exact")
+
+    # corpus grows: 30 clones of already-committed pages land with new urls
+    src = glob.glob(f"{dup_dir}/pages.parquet")[0]
+    t = pq.read_table(src)
+    clones = t.slice(0, 30).set_column(
+        0, "url", pa.array(["zzz-" + u for u in
+                            t.column("url").to_pylist()[:30]]))
+    pq.write_table(pa.concat_tables([t, clones]), src)
+
+    r2 = run_extract_job(spark, dup_dir, cfg, job_token="r2", dedup="exact")
+    assert r2["rows"] == 30                  # only the clones were pending
+    out = IceboxTable(cfg.extracted_table).read(spark)
+    marked = out.filter(out.url.startswith("zzz-"))
+    assert marked.count() == 30
+    # every clone points at its committed original, never at another clone
+    assert marked.filter(F.col("duplicate_of").isNull()).count() == 0
+    assert marked.filter(F.col("duplicate_of").startswith("zzz-")).count() == 0
+
+
+def test_dedup_schema_stable_across_modes(spark, corpus_dir, work_root):
+    """Mixed dedup / non-dedup commits must yield ONE schema: fingerprint
+    and duplicate_of are always present (ADVICE: mergeSchema-free reads
+    must not silently drop the column)."""
+    cfg = ExtractConfig(root_dir=work_root)
+    run_extract_job(spark, corpus_dir, cfg, job_token="a",
+                    limit_pending=100, dedup="none")
+    run_extract_job(spark, corpus_dir, cfg, job_token="b", dedup="exact")
+    out = IceboxTable(cfg.extracted_table).read(spark)
+    assert {"fingerprint", "duplicate_of"} <= set(out.columns)
+    total = read_pages(spark, corpus_dir).count()
+    assert out.count() == total
+    # duplicate_of is queryable across ALL rows, including the non-dedup
+    # commit's (null there by construction)
+    assert out.filter(F.col("duplicate_of").isNull()).count() > 0
+    assert out.filter(F.col("fingerprint").isNull()).count() == 0
+
+
+def test_dedup_mark_shuffles_no_payload(spark, tmp_path):
+    """No Exchange in the dedup-mark plan may carry the extracted text —
+    the 100-TB property the keeper-map design exists for."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_devnagari_spark.plans.pipeline import exact_dedup_mark
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "x" * 100, f"fp{i % 3}") for i in range(30)],
+        "url string, text string, fingerprint string",
+    ).withColumn("duplicate_of", F.lit(None).cast("string"))
+    staged_dir = str(tmp_path / "staged")
+    df.write.parquet(staged_dir)
+    marked = exact_dedup_mark(spark.read.parquet(staged_dir))
+    assert marked.filter(F.col("duplicate_of").isNotNull()).count() == 27
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        marked.explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain: each node block lists its Input/Output columns
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" in head:
+            assert "text#" not in block, f"payload in shuffle:\n{block}"
+
+
 def test_compact_small_files(spark, work_root):
     t = IceboxTable(f"{work_root}/tbl")
     for i in range(6):                      # six tiny incremental commits
@@ -139,7 +218,7 @@ def test_compact_small_files(spark, work_root):
     m2 = t.current_manifest()
     assert len(m2["files"]) < len(m["files"])
     assert {r.id for r in t.read(spark).collect()} == before
-    removed = t.expire_snapshots(keep_last=1)
+    removed = t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert removed >= 12                    # old small files collected
     assert {r.id for r in t.read(spark).collect()} == before
 
@@ -151,9 +230,12 @@ def test_expire_snapshots(spark, work_root):
     t.append(df)
     t.append(df)
     assert t.read(spark).count() == 15
-    removed = t.expire_snapshots(keep_last=1)
+    removed = t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert removed == 0                     # last snapshot references all files
     t.overwrite(df)                         # orphan the old files
-    removed = t.expire_snapshots(keep_last=1)
+    # default grace window: freshly-orphaned files survive (an in-flight
+    # job's staged-but-uncommitted files must never be collected)
+    assert t.expire_snapshots(keep_last=1) == 0
+    removed = t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert removed > 0
     assert t.read(spark).count() == 5
