@@ -33,9 +33,15 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document; JVM-side only
-    (split / sequence / transform / explode: no Python workers)."""
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, shingle) — word n-grams per document; JVM-side only
+    (split / sequence / transform / explode: no Python workers).
+
+    ``distinct=True`` (set semantics, needed for exact Jaccard) costs a
+    full shuffle of the exploded shingles. Consumers whose aggregate is
+    duplicate-insensitive (MinHash: ``min``) pass ``distinct=False`` and
+    skip that shuffle entirely — map-side partial aggregation collapses
+    duplicates for free."""
     toks = tokens_col(text_col)
     grams = F.when(
         F.size(toks) >= n,
@@ -44,9 +50,9 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array())
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(grams).alias("shingle"))
-            .distinct())
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -62,12 +68,16 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   threshold: float = 0.8,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
     |A∩B| from the inverted-index self-join; |A|,|B| from per-doc counts;
     J = |A∩B| / (|A|+|B|−|A∩B|). ``max_df`` removes stop-shingles before
-    the join (skew + cost control at scale; exact only when None).
+    the join — DEFAULT-ON (10k): one shingle appearing in f documents
+    contributes f² join rows, so a single stop-shingle ("click here")
+    makes the self-join quadratic in corpus size. The result is exact
+    whenever no shingle exceeds ``max_df`` (always true below 10k docs);
+    pass ``None`` only for a provably-small input.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_df is not None:
@@ -107,8 +117,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     (``xxhash64(h, i)`` — fixed-width numeric hashing, far cheaper than k
     independent string hashes and safe under ANSI arithmetic). One
     partial+final agg — map-side combine keeps the shuffle at k longs/doc.
+
+    No ``distinct`` on the shingles: ``min`` is duplicate-insensitive, so
+    set semantics are free here and skipping the distinct removes a full
+    shuffle of the exploded shingle table (the largest intermediate in
+    the whole plan).
     """
-    sh = shingles(df, id_col, text_col, n).withColumn(
+    sh = shingles(df, id_col, text_col, n, distinct=False).withColumn(
         "h", F.xxhash64("shingle"))
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
             for i in range(k)]
@@ -141,11 +156,33 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.8,
                   k: int = 32, bands: int = 8, rows: int = 4,
-                  n: int = 3) -> DataFrame:
-    """Candidates from LSH, verified with exact Jaccard on candidate ids
-    only (never all-pairs). Returns (id_a, id_b, jaccard) ≥ threshold."""
+                  n: int = 3, verify: str = "exact") -> DataFrame:
+    """Candidates from LSH, verified on candidate ids only (never
+    all-pairs). Returns (id_a, id_b, jaccard) ≥ threshold.
+
+    ``verify='exact'``   — re-shingle ONLY the candidate documents and
+    compute exact Jaccard (the correctness-grade mode; cost ∝ candidate
+    volume, not corpus size).
+    ``verify='estimate'`` — Jaccard ≈ fraction of agreeing minhashes,
+    computed from the signatures already in hand: zero further touches of
+    the document table (the RefinedWeb/C4-style 100-TB mode — at that
+    scale a second pass over the payload column is the dominant cost).
+    """
     sig = minhash_signatures(df, id_col, text_col, k, n)
     cand = lsh_candidate_pairs(sig, bands, rows)
+    if verify == "estimate":
+        sa = sig.select(F.col("id").alias("id_a"),
+                        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+        sb = sig.select(F.col("id").alias("id_b"),
+                        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+        agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                    for i in range(k))
+        return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard", F.round(agree / F.lit(k), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+    if verify != "exact":
+        raise ValueError(f"unknown verify mode {verify!r}")
     ids = (cand.select(F.col("id_a").alias("id"))
            .union(cand.select("id_b")).distinct())
     subset = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")

@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -68,6 +69,16 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list:
             for _ in range(n_planes)]
 
 
+def derive_n_planes(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Plane count that bounds EXPECTED bucket population ≈
+    ``target_bucket_rows``: 2^planes buckets for n_rows vectors. A fixed
+    plane count is the scale trap — within-bucket candidate volume grows
+    ∝ Σ bucket² ≈ n²/2^planes, so planes must grow with log2(n) for the
+    join to stay linear-ish as the corpus grows 10-1000×."""
+    buckets_needed = max(n_rows, 1) / max(target_bucket_rows, 1)
+    return max(4, math.ceil(math.log2(max(buckets_needed, 2.0))))
+
+
 def bucket_col(vec_col: Column, planes: list) -> Column:
     """Sign-bit bucket id: bit i set iff dot(v, plane_i) > 0."""
     bucket = F.lit(0).cast("long")
@@ -86,13 +97,20 @@ def _python_bucket(vec, planes) -> int:
 
 
 def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
-                    n_planes: int = 12, seed: int = 42,
+                    n_planes: int | None = None, seed: int = 42,
                     multiprobe: bool = True, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    target_bucket_rows: int = 1024) -> DataFrame:
     """ANN: restrict to the query's LSH bucket (+ Hamming-1 probes), then
     exact cosine re-rank. Bucket ids are computable at the parquet scan, so
     at scale you PARTITION the index table by bucket and this becomes
-    partition pruning — the scan reads ~(1+p)/2^p of the files."""
+    partition pruning — the scan reads ~(1+p)/2^p of the files.
+
+    ``n_planes=None`` derives the plane count from the table size so the
+    probed candidate set stays ≈ (1+planes)·``target_bucket_rows`` rows
+    however large the index grows."""
+    if n_planes is None:
+        n_planes = derive_n_planes(emb.count(), target_bucket_rows)
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qb = _python_bucket(query_vec, planes)
     probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)]
@@ -131,26 +149,48 @@ def label_centroids(emb: DataFrame, id_col: str = "vec_id",
         centroid, schema="label int, dim int, centroid double")
 
 
+def banded_buckets(emb: DataFrame, planes_per_band: list,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, v, band_idx, bucket): one sign-bit bucket per band. Separate
+    bands = independent LSH tables — recall is 1−(1−p^r)^b instead of the
+    single-table p^r, which collapses once r scales up with corpus size."""
+    v = F.col(vec_col).cast("array<double>")
+    barr = F.array(*[bucket_col(v, p) for p in planes_per_band])
+    return emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      F.posexplode(barr).alias("band_idx", "bucket"))
+
+
 def knn_self_join(emb: DataFrame, threshold: float = 0.95,
-                  n_planes: int = 8, seed: int = 42,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  n_planes: int | None = None, bands: int = 4,
+                  seed: int = 42, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  target_bucket_rows: int = 1024) -> DataFrame:
     """Embedding-cosine near-dup pairs: all-pairs ONLY within LSH buckets
-    (bucket join ⇒ candidate volume ∝ Σ bucket², not n²), exact cosine
-    filter afterwards."""
+    (per-band bucket join ⇒ candidate volume ∝ bands · Σ bucket², not n²),
+    exact cosine filter afterwards.
+
+    ``n_planes`` (bits per band) defaults to ``derive_n_planes(count)``,
+    so expected bucket population stays ≈ ``target_bucket_rows`` as the
+    corpus grows — a FIXED plane count explodes quadratically at 10^12
+    rows. ``bands`` independent hash tables keep recall up as the
+    per-band bucket count grows (multi-band LSH, same construction as the
+    MinHash path)."""
     head = emb.select(F.size(vec_col)).first()
     if head is None:            # empty input → empty pairs, not a crash
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double")
-    planes = hyperplanes(head[0], n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
-    b = emb.select(F.col(id_col).alias("id"), v.alias("v"),
-                   bucket_col(v, planes).alias("bucket"))
-    l, r = b.alias("l"), b.alias("r")
-    return (l.join(r, "bucket")
+    if n_planes is None:
+        n_planes = derive_n_planes(emb.count(), target_bucket_rows)
+    planes_per_band = [hyperplanes(head[0], n_planes, seed + 7919 * b)
+                       for b in range(bands)]
+    e = banded_buckets(emb, planes_per_band, id_col, vec_col)
+    l, r = e.alias("l"), e.alias("r")
+    return (l.join(r, ["band_idx", "bucket"])
             .filter(F.col("l.id") < F.col("r.id"))
             .select(F.col("l.id").alias("id_a"),
                     F.col("r.id").alias("id_b"),
                     F.round(cosine_col(F.col("l.v"), F.col("r.v")),
                             6).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+            .filter(F.col("cosine") >= threshold)
+            .distinct())   # a pair may collide in several bands

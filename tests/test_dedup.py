@@ -125,3 +125,20 @@ def test_simhash_near_dups(spark, docs):
             if bin(fps[a] ^ fps[b]).count("1") <= 3:
                 brute.add((a, b))
     assert set(pairs) == brute
+
+
+def test_minhash_estimate_mode(spark, docs):
+    """verify='estimate' (signature-agreement Jaccard, zero document
+    re-reads) must recover every exact clone at ĵ=1.0 and agree with the
+    exact mode within minhash sampling error on near-dups."""
+    est = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_dedup(docs, threshold=0.5,
+                                  verify="estimate").collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for pid in range(10_000, 10_006):
+        src = next(i for i in texts if i < 10_000 and texts[i] == texts[pid])
+        assert est.get((src, pid)) == 1.0
+    # near-dup estimates sit near the true jaccard (k=32 → σ ≈ 0.08)
+    for (a, b), j in est.items():
+        if b >= 20_000:
+            assert abs(j - _py_jaccard(texts[a], texts[b])) <= 0.25

@@ -68,3 +68,64 @@ def test_knn_self_join_pairs_valid(spark, emb, emb_np):
         true_cos = float(norm[idx[r.id_a]] @ norm[idx[r.id_b]])
         assert abs(r.cosine - true_cos) < 1e-5
         assert r.cosine >= 0.8
+
+
+def _synthetic_emb(spark, n, dim=16, seed_col_mult=1):
+    """Deterministic pseudo-random unit-ish vectors derived from vec_id
+    hashes — no RNG state, reproducible across sessions/partitionings."""
+    from pyspark.sql import functions as F
+    e = spark.range(n).select(F.col("id").alias("vec_id"))
+    dims = F.array(*[
+        (F.pmod(F.xxhash64(F.col("vec_id") * seed_col_mult, F.lit(i)),
+                F.lit(2001)) - 1000).cast("float") / 1000.0
+        for i in range(dim)])
+    return e.select("vec_id", dims.alias("embedding"))
+
+
+def test_auto_planes_bound_bucket_population(spark):
+    """derive_n_planes must keep expected (and observed max) bucket
+    population bounded as the corpus grows 10× — the fixed-plane-count
+    scale trap from round 1."""
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.operators.similarity import (
+        banded_buckets,
+        derive_n_planes,
+        hyperplanes,
+    )
+
+    target = 64
+    sizes = (500, 5000)
+    max_buckets = {}
+    for n in sizes:
+        emb = _synthetic_emb(spark, n)
+        p = derive_n_planes(n, target_bucket_rows=target)
+        planes = [hyperplanes(16, p, 42 + 7919 * b) for b in range(2)]
+        bb = banded_buckets(emb, planes)
+        top = (bb.groupBy("band_idx", "bucket").count()
+               .agg(F.max("count")).first()[0])
+        max_buckets[n] = top
+    # 10× more rows must NOT mean 10× bigger buckets: plane growth keeps
+    # the max-bucket population within a small factor of the target
+    assert derive_n_planes(5000, target) > derive_n_planes(500, target)
+    assert max_buckets[5000] < max_buckets[500] * 4
+    assert max_buckets[5000] <= target * 16  # sign-bits skew, but bounded
+    # and at 10^12 rows the derived count is sane (not 8, not 200)
+    assert 25 <= derive_n_planes(10**12) <= 40
+
+
+def test_knn_self_join_auto_planes_recall_unchanged(spark):
+    """Planted exact clones must be recovered at ANY corpus scale with
+    auto-derived planes (identical vectors share every band bucket)."""
+    from pyspark.sql import functions as F
+
+    for n in (300, 3000):
+        emb = _synthetic_emb(spark, n)
+        clones = (emb.filter(F.col("vec_id") % 100 == 7)
+                  .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                          "embedding"))
+        n_clones = clones.count()
+        pairs = knn_self_join(emb.unionByName(clones), threshold=0.999,
+                              target_bucket_rows=64)
+        found = pairs.filter(F.col("id_b") >= 1_000_000).count()
+        assert found >= n_clones       # every clone pair recovered
