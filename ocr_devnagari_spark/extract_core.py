@@ -70,7 +70,10 @@ def canon(s: str) -> str:
 
 
 _ATTR_CLASS_RE = re.compile(
-    r"""\b(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+    # (?<![-\w]) anchor, not \b: '-' is a word BOUNDARY, so \b(class|id)
+    # would also match inside data-class=... / data-id=... and wrongly
+    # drop real content blocks tagged with such custom attributes.
+    r"""(?<![-\w])(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 def _has_drop_class(attr_str: str | None) -> bool:
@@ -170,8 +173,26 @@ class Block:
         return self._text
 
 
-def segment_blocks(html_str: str) -> list[Block]:
-    """Streaming flat block segmentation over the event stream."""
+def materialize_events(html_str: str) -> list:
+    """Tokenize ONCE into a list both extraction paths can consume — the
+    escalated ~8-15% of documents previously tokenized the HTML twice
+    (fast pass streams events, then precise_extract_html re-ran the
+    tokenizer to build the DOM). The guard keeps partial-event semantics
+    identical to the streaming consumers' try/except."""
+    ev: list = []
+    try:
+        for e in iter_html_events(html_str):
+            ev.append(e)
+    except Exception:
+        pass
+    return ev
+
+
+def segment_blocks(html_str_or_events) -> list[Block]:
+    """Streaming flat block segmentation over the event stream. Accepts
+    raw HTML or a pre-materialized event list (``materialize_events``)."""
+    events = (html_str_or_events if isinstance(html_str_or_events, list)
+              else iter_html_events(html_str_or_events))
     blocks: list[Block] = []
     drop_stack: list[str] = []
     cur = Block(tag="body")
@@ -186,7 +207,7 @@ def segment_blocks(html_str: str) -> list[Block]:
         return cur
 
     try:
-        for kind, payload in iter_html_events(html_str):
+        for kind, payload in events:
             if kind == DATA:
                 if skip or not payload:
                     continue
@@ -251,12 +272,12 @@ def _keep_fast(b: Block) -> bool:
     return True
 
 
-def fast_extract_html(html_str: str) -> tuple[str, dict]:
+def fast_extract_html(html_str_or_events) -> tuple[str, dict]:
     """Fast path: segment → classify → canonical join.
 
     Returns (text, stats) where stats feed confidence + lineage histograms.
     """
-    blocks = segment_blocks(html_str)
+    blocks = segment_blocks(html_str_or_events)
     kept = [b for b in blocks if _keep_fast(b)]
     texts = [b.text() for b in kept]
     texts = [t for t in texts if t]
@@ -285,12 +306,14 @@ _MAX_TREE_DEPTH = 120   # bounds recursion in the tree walks below; real
 #                         RecursionError on hostile 1000-deep nesting)
 
 
-def parse_tree(html_str: str) -> Node:
+def parse_tree(html_str_or_events) -> Node:
+    events = (html_str_or_events if isinstance(html_str_or_events, list)
+              else iter_html_events(html_str_or_events))
     root = Node("document")
     stack = [root]
     skip = 0
     try:
-        for kind, payload in iter_html_events(html_str):
+        for kind, payload in events:
             if kind == DATA:
                 if not skip and payload:
                     stack[-1].children.append(payload)
@@ -384,7 +407,7 @@ def _emit_blocks(node: Node, out: list, cur: list, dropped: bool):
             _emit_blocks(ch, out, cur, is_dropped)
 
 
-def precise_extract_html(html_str: str) -> str:
+def precise_extract_html(html_str_or_events) -> str:
     """Precise path: DOM tree → best content subtree → block cascade.
 
     The precedence-ordered cascade (mirrors the reference's detector cascade
@@ -395,7 +418,7 @@ def precise_extract_html(html_str: str) -> str:
     content root).
     """
     try:
-        root = parse_tree(html_str)
+        root = parse_tree(html_str_or_events)
         content = _best_content_root(root)
         out: list[str] = []
         cur: list[str] = []
@@ -573,8 +596,15 @@ def extract_document(url: str, payload: bytes,
         }
 
     html_str = payload.decode("utf-8", errors="replace")
+    # Default path tokenizes ONCE: the event list feeds the fast pass and,
+    # for the escalated minority, the precise DOM build — previously the
+    # tokenizer (the per-doc hot loop) ran twice on escalated rows. Custom
+    # backends take the raw string (registry contract: (html_str) -> str).
+    events = None
+    if primary is None or precise is None:
+        events = materialize_events(html_str)
     fast_text = primary(html_str) if primary else fast_extract_html(
-        html_str)[0]
+        events)[0]
     ok, err = validate_text(fast_text)
     conf = estimate_confidence(fast_text)
     critical, _cscore, hits = detect_critical(fast_text)
@@ -587,7 +617,8 @@ def extract_document(url: str, payload: bytes,
             "needs_verification": False, "rule_hits": hits,
         }
 
-    precise_text = (precise or precise_extract_html)(html_str)
+    precise_text = (precise(html_str) if precise
+                    else precise_extract_html(events))
     p_ok, p_err = validate_text(precise_text)
     if p_ok:
         text, success, error = precise_text, True, None

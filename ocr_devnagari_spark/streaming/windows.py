@@ -71,7 +71,10 @@ def _update_user_state(key, pdfs, state: GroupState):
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, round(total, 4)))
+    # State keeps the UNROUNDED running total — rounding on every drain
+    # would accumulate up to ~1e-4 drift per drain against the batch
+    # oracle. Rounding happens once, on emission.
+    state.update((n, total))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                         "total_value": [round(total, 4)]})
 

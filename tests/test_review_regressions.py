@@ -133,3 +133,17 @@ def test_two_pass_does_not_persist_payload(spark, corpus_dir):
     for line in plan.splitlines():
         if "InMemoryRelation" in line:
             assert "html" not in line, line
+
+def test_data_class_attrs_are_not_class(spark=None):
+    """data-class= / data-id= are custom attributes, not class/id — they
+    must not mark real content blocks as dropped ('-' is a word boundary,
+    so the old \\b(class|id) matched inside them)."""
+    h = ('<div data-class="advert" data-id="comment-42">'
+         '<p>real content that is definitely long enough to keep</p></div>')
+    t, _ = fast_extract_html(h)
+    assert "real content" in t
+    # a genuine class attribute still drops
+    h2 = ('<div class="advert"><p>pure advertisement junk here</p></div>'
+          '<p>real content that is definitely long enough to keep</p>')
+    t2, _ = fast_extract_html(h2)
+    assert "advertisement junk" not in t2 and "real content" in t2
