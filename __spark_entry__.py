@@ -77,18 +77,28 @@ def _wrapped_pages(spark, sf_dir) -> DataFrame:
 
 def _spiked_text() -> F.Column:
     """Deterministically spike critical patterns into 'documents.text' so
-    the detector cascade has signal on the driver corpus."""
+    every detector family (verse, code, section, deity+yantra, triple-bija
+    → high_priority) has signal on the driver corpus."""
     return (F.when(F.col("doc_id") % 5 == 0,
                    F.concat(F.col("text"), F.lit(" ॥ "),
                             (F.col("doc_id") % 20).cast("string"),
                             F.lit(" ॥")))
             .when(F.col("doc_id") % 7 == 0,
                   F.concat(F.col("text"), F.lit(" def f(x): return 42")))
+            .when(F.col("doc_id") % 11 == 0,
+                  F.concat(F.col("text"), F.lit(" मन्त्र विनियोग जप")))
+            .when(F.col("doc_id") % 13 == 0,
+                  F.concat(F.col("text"), F.lit(" शिव श्रीचक्र")))
+            .when(F.col("doc_id") % 17 == 0,
+                  F.concat(F.col("text"), F.lit(" ॐ ॐ ॐ")))
             .otherwise(F.col("text")))
 
 _SPIKED_SQL = ("CASE WHEN doc_id % 5 = 0 THEN text || ' ॥ ' || "
                "CAST(doc_id % 20 AS VARCHAR) || ' ॥' "
                "WHEN doc_id % 7 = 0 THEN text || ' def f(x): return 42' "
+               "WHEN doc_id % 11 = 0 THEN text || ' मन्त्र विनियोग जप' "
+               "WHEN doc_id % 13 = 0 THEN text || ' शिव श्रीचक्र' "
+               "WHEN doc_id % 17 = 0 THEN text || ' ॐ ॐ ॐ' "
                "ELSE text END")
 
 
@@ -158,6 +168,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(critical_score(F.col("t2")), 6).alias("crit_score"))
     q["m6_critical"] = m6_critical
 
+    # ---- M6 tri-state recommendation (mantra_detector.py:224-230) ----
+    def m6_recommendation(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import detector_recommendation
+        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        return (d.select(detector_recommendation(F.col("t2"))
+                         .alias("recommendation"))
+                .groupBy("recommendation")
+                .agg(F.count("*").alias("n_docs")))
+    q["m6_recommendation"] = m6_recommendation
+
+    # ---- O3 budgeted-escalation ranking: top-k by detector priority ----
+    def o3_priority_topk(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import priority_score
+        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        scored = d.select(
+            "doc_id", F.round(priority_score(F.col("t2")), 6)
+            .alias("priority"))
+        return (scored.orderBy(F.desc("priority"), F.asc("doc_id"))
+                .limit(25))
+    q["o3_priority_topk"] = o3_priority_topk
+
     # ---- M5/A1 hybrid routing stats ----
     def m5_route_stats(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
@@ -170,6 +201,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("backend_used")
                 .agg(F.count("*").alias("n_docs")))
     q["m5_route_stats"] = m5_route_stats
+
+    # ---- A2 cost accounting: routing → estimated dollar cost ----
+    def a2_cost_summary(spark, sf_dir):
+        from ocr_devnagari_spark.operators.registry import (
+            backend_cost_per_page,
+        )
+        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        esc = (~validation_ok(F.col("t2"))
+               | (confidence_expr(F.col("t2")) < 0.85)
+               | (critical_score(F.col("t2")) >= 0.6)).cast("long")
+        c_fast = backend_cost_per_page("fast")
+        c_precise = backend_cost_per_page("precise")
+        return (d.select(esc.alias("esc"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("esc").alias("n_escalated"),
+                     F.round(F.count("*") * F.lit(c_fast)
+                             + F.sum("esc") * F.lit(c_precise), 6)
+                     .alias("est_cost_usd")))
+    q["a2_cost_summary"] = a2_cost_summary
 
     # ---- P1 print-dialog range predicate (utils.py:75-141 analog) ----
     def p1_range_filter(spark, sf_dir):
@@ -487,15 +537,54 @@ def _conf_sql(c: str) -> str:
             "/ length(%s) ELSE 0.0 END) < 0.3 AS INT)))"
             % (c, _sq(_GARBLED), c, c, c, c))
 
+from ocr_devnagari_spark.extract_core import (  # noqa: E402
+    DEITY_TERMS as _DEITY,
+    SECTION_TERMS as _SECTION,
+    YANTRA_TERMS as _YANTRA,
+)
+
+
+def _sec_cnt_sql(c: str) -> str:
+    return "(" + " + ".join(
+        f"CAST(contains({c}, '{t}') AS INT)" for t in _SECTION) + ")"
+
+
 def _crit_expr(c: str) -> str:
     v = f"CAST(len(regexp_extract_all({c}, '{_sq(_VERSE)}')) > 0 AS INT)"
     b = f"CAST(len(regexp_extract_all({c}, '{_sq(_BIJA)}')) > 0 AS INT)"
     cd = f"CAST(len(regexp_extract_all({c}, '{_sq(_CODE)}')) > 0 AS INT)"
     nm = f"CAST(len(regexp_extract_all({c}, '{_sq(_NUM)}')) >= 6 AS INT)"
-    fam = f"({v} + {b} + {cd} + {nm})"
-    mx = (f"greatest({v} * 0.8, {b} * 0.9, {cd} * 0.75, {nm} * 0.7)")
+    sec_n = _sec_cnt_sql(c)
+    sec = f"CAST({sec_n} > 0 AS INT)"
+    sec_score = f"least(0.85, 0.5 + {sec_n} * 0.1)"
+    dey_alt = "(" + "|".join(_DEITY) + ")"
+    yan_alt = "(" + "|".join(_YANTRA) + ")"
+    dey = f"CAST(regexp_matches({c}, '{dey_alt}') AS INT)"
+    yan = f"CAST(regexp_matches({c}, '{yan_alt}') AS INT)"
+    fam = f"({v} + {b} + {cd} + {nm} + {sec} + {dey} + {yan})"
+    mx = (f"greatest({v} * 0.8, {b} * 0.9, {cd} * 0.75, {nm} * 0.7, "
+          f"{sec} * {sec_score}, {dey} * 0.6, {yan} * 0.75)")
     score = f"least(1.0, {mx} * (1.0 + least({fam} - 1, 5) * 0.05))"
     return f"CASE WHEN {fam} > 0 THEN {score} ELSE 0.0 END"
+
+
+def _high_prio_sql(c: str) -> str:
+    bija_cnt = f"len(regexp_extract_all({c}, '{_sq(_BIJA)}'))"
+    return (f"({bija_cnt} >= 3 OR ({bija_cnt} >= 1 "
+            f"AND {_sec_cnt_sql(c)} >= 2))")
+
+
+def _rec_sql(c: str) -> str:
+    return (f"CASE WHEN {_high_prio_sql(c)} THEN 'high_priority' "
+            f"WHEN ({_crit_expr(c)}) >= 0.6 THEN 'verify' "
+            f"ELSE 'skip' END")
+
+
+def _priority_sql(c: str) -> str:
+    return (f"CASE WHEN {_high_prio_sql(c)} THEN 1.0 "
+            f"WHEN ({_crit_expr(c)}) >= 0.6 "
+            f"THEN 0.5 + 0.4 * ({_crit_expr(c)}) "
+            f"ELSE 0.3 * ({_crit_expr(c)}) END")
 
 
 from ocr_devnagari_spark.functions.text import STOPWORDS as _STOP  # noqa: E402
@@ -552,6 +641,27 @@ WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.05
 """
 
 
+def _a2_cost_sql() -> str:
+    # Unit costs pulled from the SAME registry metadata the Spark query
+    # uses — an edited cost constant diverges loudly, not silently.
+    from ocr_devnagari_spark.operators.registry import backend_cost_per_page
+    c_fast = backend_cost_per_page("fast")
+    c_precise = backend_cost_per_page("precise")
+    t2 = f"({_SPIKED_SQL})"
+    esc = (f"CAST(NOT ({_valid_sql('t2')}) "
+           f"OR ({_conf_sql('t2')}) < 0.85 "
+           f"OR ({_crit_expr('t2')}) >= 0.6 AS BIGINT)")
+    return (f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(esc) AS BIGINT) AS n_escalated, "
+            # CAST AS DOUBLE: DuckDB float literals are DECIMAL, and
+            # BIGINT×DECIMAL stays DECIMAL — a typed-hash mismatch vs
+            # Spark's double even when the values agree.
+            f"round(count(*) * CAST({c_fast!r} AS DOUBLE) "
+            f"+ sum(esc) * CAST({c_precise!r} AS DOUBLE), 6) "
+            f"AS est_cost_usd FROM (SELECT {esc} AS esc FROM "
+            f"(SELECT doc_id, {t2} AS t2 FROM documents))")
+
+
 def oracle_sql() -> dict[str, str]:
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
@@ -572,10 +682,19 @@ def oracle_sql() -> dict[str, str]:
         "m6_critical": (
             f"SELECT doc_id, round({_crit_expr('t2')}, 6) AS crit_score "
             f"FROM (SELECT doc_id, {t2} AS t2 FROM documents)"),
+        "m6_recommendation": (
+            f"SELECT recommendation, count(*) AS n_docs FROM "
+            f"(SELECT {_rec_sql('t2')} AS recommendation FROM "
+            f"(SELECT doc_id, {t2} AS t2 FROM documents)) GROUP BY 1"),
+        "o3_priority_topk": (
+            f"SELECT doc_id, round({_priority_sql('t2')}, 6) AS priority "
+            f"FROM (SELECT doc_id, {t2} AS t2 FROM documents) "
+            "ORDER BY priority DESC, doc_id ASC LIMIT 25"),
         "m5_route_stats": (
             f"SELECT backend_used, count(*) AS n_docs FROM "
             f"(SELECT {route} AS backend_used FROM "
             f"(SELECT doc_id, {t2} AS t2 FROM documents)) GROUP BY 1"),
+        "a2_cost_summary": _a2_cost_sql(),
         "p1_range_filter": (
             "SELECT doc_id, lang FROM documents WHERE "
             "doc_id BETWEEN 0 AND 24 OR doc_id = 100 "

@@ -529,26 +529,70 @@ _BIJA_RE = re.compile(r"(ॐ|स्वाहा|श्लोक)")
 _CODE_RE = re.compile(r"(def |return |function\s*\(|;\s*\}|class\s+\w+\s*[:{])")
 _NUMTABLE_RE = re.compile(r"\b\d{3,}\b")
 
-CRITICAL_FAMILIES = ("verse", "bija", "code", "numeric_table")
+# Term families 5-7 (full reference fidelity): section indicators, deity
+# names, yantra terms — the public Sanskrit vocabularies from
+# mantra_detector.py:62-86, :89-102, :105-118. Substring semantics
+# (``term in text``), exactly like the reference's ``text.count``.
+SECTION_TERMS = (
+    "मन्त्र", "मंत्र", "यन्त्र", "यंत्र", "तन्त्र", "तंत्र", "विनियोग",
+    "ऋषि", "छन्द", "छंद", "देवता", "बीज", "शक्ति", "कीलक", "न्यास",
+    "ध्यान", "कवच", "स्तोत्र", "सूक्त", "जप", "पुरश्चरण", "अनुष्ठान",
+    "साधना", "दीक्षा", "होम", "हवन", "आहुति", "प्राणप्रतिष्ठा",
+)
+DEITY_TERMS = (
+    "शिव", "महादेव", "रुद्र", "विष्णु", "नारायण", "हरि", "ब्रह्मा",
+    "गणेश", "गणपति", "विनायक", "दुर्गा", "काली", "चण्डी", "चामुण्डा",
+    "लक्ष्मी", "सरस्वती", "हनुमान", "मारुति", "सूर्य", "चन्द्र",
+    "भैरव", "भैरवी", "त्रिपुरसुन्दरी", "ललिता", "राजराजेश्वरी",
+    "तारा", "बगलामुखी", "धूमावती", "मातङ्गी", "कमला",
+)
+YANTRA_TERMS = (
+    "मण्डल", "मंडल", "चक्र", "त्रिकोण", "षट्कोण", "अष्टदल",
+    "बिन्दु", "बिंदु", "भूपुर", "कमल", "पद्म", "श्रीचक्र", "श्रीयन्त्र",
+)
+
+CRITICAL_FAMILIES = ("verse", "bija", "code", "numeric_table",
+                     "section", "deity", "yantra")
+
+# Every Devanagari-dependent family is unreachable without a char in the
+# Devanagari block — one regex gate skips ~100 substring scans on the
+# overwhelmingly non-Devanagari web majority. Semantics are identical:
+# ॥ is U+0965, every term above is Devanagari.
+_DEVA_RE = re.compile(r"[ऀ-ॿ]")
 
 
-def detect_critical(text: str) -> tuple[bool, float, dict]:
-    """Pattern-family scoring cascade → (flag, confidence, per-family hits).
-
-    Mirrors the reference's combine rule: per-family fixed scores, combined =
-    max(scores) × (1 + min(n_families−1, 5)·0.05), capped at 1.0; flagged when
-    combined ≥ 0.6 (mantra_detector.py:204-230).
+def detect_critical_full(text: str) -> dict:
+    """Full pattern-family scoring cascade (reference parity:
+    mantra_detector.py:133-238): 7 families → per-family fixed scores,
+    combined = max(scores) × (1 + min(n_families−1, 5)·0.05) capped at
+    1.0; flagged when combined ≥ 0.6 (:204-230); tri-state recommendation
+    (:224-230) and verification priority score (:253-271).
     """
-    hits = {}
+    hits: dict = {}
     scores = []
-    n = len(_VERSE_RE.findall(text))
-    if n:
-        hits["verse"] = n
-        scores.append(0.8)
-    n = len(_BIJA_RE.findall(text))
-    if n:
-        hits["bija"] = n
-        scores.append(0.9)
+    bija_count = 0
+    n_sec = 0
+    if _DEVA_RE.search(text):
+        n = len(_VERSE_RE.findall(text))
+        if n:
+            hits["verse"] = n
+            scores.append(0.8)
+        bija_count = len(_BIJA_RE.findall(text))
+        if bija_count:
+            hits["bija"] = bija_count
+            scores.append(0.9)
+        n_sec = sum(1 for t in SECTION_TERMS if t in text)
+        if n_sec:
+            hits["section"] = n_sec
+            scores.append(min(0.85, 0.5 + n_sec * 0.1))
+        n = sum(1 for t in DEITY_TERMS if t in text)
+        if n:
+            hits["deity"] = n
+            scores.append(0.6)
+        n = sum(1 for t in YANTRA_TERMS if t in text)
+        if n:
+            hits["yantra"] = n
+            scores.append(0.75)
     n = len(_CODE_RE.findall(text))
     if n:
         hits["code"] = n
@@ -557,10 +601,29 @@ def detect_critical(text: str) -> tuple[bool, float, dict]:
     if n >= 6:
         hits["numeric_table"] = n
         scores.append(0.7)
-    if not scores:
-        return False, 0.0, hits
-    combined = min(1.0, max(scores) * (1 + min(len(scores) - 1, 5) * 0.05))
-    return combined >= 0.6, combined, hits
+    if scores:
+        combined = min(1.0, max(scores) * (1 + min(len(scores) - 1, 5) * 0.05))
+    else:
+        combined = 0.0
+    flag = combined >= 0.6
+    if bija_count >= 3 or (bija_count >= 1 and n_sec >= 2):
+        recommendation = "high_priority"
+        priority = 1.0
+    elif flag:
+        recommendation = "verify"
+        priority = 0.5 + 0.4 * combined
+    else:
+        recommendation = "skip"
+        priority = 0.3 * combined
+    return {"flag": flag, "score": combined, "hits": hits,
+            "recommendation": recommendation, "priority": priority}
+
+
+def detect_critical(text: str) -> tuple[bool, float, dict]:
+    """(flag, combined score, per-family hits) — the routing-facing view
+    of ``detect_critical_full``."""
+    r = detect_critical_full(text)
+    return r["flag"], r["score"], r["hits"]
 
 
 # ---------------------------------------------------------------------------

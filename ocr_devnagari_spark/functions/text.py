@@ -23,6 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..extract_core import (  # single source of truth for the term lists
+    DEITY_TERMS,
+    SECTION_TERMS,
+    YANTRA_TERMS,
+)
+
 # ---------------------------------------------------------------------------
 # P2 — validation predicate
 # ---------------------------------------------------------------------------
@@ -77,19 +83,75 @@ def cheap_critical(col: Column) -> Column:
     return col.rlike(f"({VERSE_RE}|{BIJA_RE.strip('()')})")
 
 
+DEITY_ALT_RE = "(" + "|".join(DEITY_TERMS) + ")"
+YANTRA_ALT_RE = "(" + "|".join(YANTRA_TERMS) + ")"
+
+
+def section_count(col: Column) -> Column:
+    """# of DISTINCT section-indicator terms present (substring semantics,
+    == the reference's per-term ``in text`` loop)."""
+    total = F.lit(0)
+    for t in SECTION_TERMS:
+        total = total + F.contains(col, F.lit(t)).cast("int")
+    return total
+
+
+def _family_cols(col: Column) -> dict:
+    """Per-family presence/score columns — shared by critical_score /
+    recommendation / priority so the three stay one formula."""
+    n_sec = section_count(col)
+    return {
+        "verse": (F.regexp_count(col, F.lit(VERSE_RE)) > 0).cast("int"),
+        "bija": (F.regexp_count(col, F.lit(BIJA_RE)) > 0).cast("int"),
+        "code": (F.regexp_count(col, F.lit(CODE_RE)) > 0).cast("int"),
+        "num": (F.regexp_count(col, F.lit(NUM_RE)) >= 6).cast("int"),
+        "n_sec": n_sec,
+        "sec": (n_sec > 0).cast("int"),
+        "sec_score": F.least(F.lit(0.85),
+                             F.lit(0.5) + n_sec.cast("double") * F.lit(0.1)),
+        "deity": col.rlike(DEITY_ALT_RE).cast("int"),
+        "yantra": col.rlike(YANTRA_ALT_RE).cast("int"),
+    }
+
+
 def critical_score(col: Column) -> Column:
-    """Combined score = max(family scores) × (1 + 0.05·min(families−1, 5))."""
-    verse = (F.regexp_count(col, F.lit(VERSE_RE)) > 0).cast("int")
-    bija = (F.regexp_count(col, F.lit(BIJA_RE)) > 0).cast("int")
-    code = (F.regexp_count(col, F.lit(CODE_RE)) > 0).cast("int")
-    num = (F.regexp_count(col, F.lit(NUM_RE)) >= 6).cast("int")
-    fam = verse + bija + code + num
-    mx = F.greatest(verse * F.lit(0.8), bija * F.lit(0.9),
-                    code * F.lit(0.75), num * F.lit(0.7))
+    """Combined score = max(family scores) × (1 + 0.05·min(families−1, 5)),
+    over the full 7-family cascade (verse, bija, code, numeric-table,
+    section indicators, deity names, yantra terms)."""
+    f = _family_cols(col)
+    fam = (f["verse"] + f["bija"] + f["code"] + f["num"]
+           + f["sec"] + f["deity"] + f["yantra"])
+    mx = F.greatest(f["verse"] * F.lit(0.8), f["bija"] * F.lit(0.9),
+                    f["code"] * F.lit(0.75), f["num"] * F.lit(0.7),
+                    f["sec"].cast("double") * f["sec_score"],
+                    f["deity"] * F.lit(0.6), f["yantra"] * F.lit(0.75))
     score = F.least(F.lit(1.0),
                     mx * (F.lit(1.0)
                           + F.least(fam - 1, F.lit(5)) * F.lit(0.05)))
     return F.when(fam > 0, score).otherwise(F.lit(0.0))
+
+
+def _high_priority(col: Column) -> Column:
+    bija_cnt = F.regexp_count(col, F.lit(BIJA_RE))
+    n_sec = section_count(col)
+    return (bija_cnt >= 3) | ((bija_cnt >= 1) & (n_sec >= 2))
+
+
+def detector_recommendation(col: Column) -> Column:
+    """Tri-state recommendation (mantra_detector.py:224-230):
+    'high_priority' | 'verify' | 'skip'."""
+    return (F.when(_high_priority(col), F.lit("high_priority"))
+            .when(critical_score(col) >= 0.6, F.lit("verify"))
+            .otherwise(F.lit("skip")))
+
+
+def priority_score(col: Column) -> Column:
+    """Verification priority ∈ [0,1] (mantra_detector.py:253-271):
+    high_priority → 1.0; verify → 0.5 + 0.4·score; skip → 0.3·score."""
+    score = critical_score(col)
+    return (F.when(_high_priority(col), F.lit(1.0))
+            .when(score >= 0.6, F.lit(0.5) + F.lit(0.4) * score)
+            .otherwise(F.lit(0.3) * score))
 
 
 # ---------------------------------------------------------------------------

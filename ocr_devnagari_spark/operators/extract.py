@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from ..extract_core import (
     CONFIDENCE_THRESHOLD,
-    detect_critical,
+    detect_critical_full,
     estimate_confidence,
     extract_document,
     fast_extract_html,
@@ -71,37 +71,61 @@ def _pid() -> int:
 # ---------------------------------------------------------------------------
 
 def _fused_batches(batches: Iterator[pd.DataFrame], threshold: float,
-                   primary: str | None,
-                   precise: str | None) -> Iterator[pd.DataFrame]:
+                   primary, precise) -> Iterator[pd.DataFrame]:
     pid = _pid()
-    # Resolve named backends executor-side (the registry import runs once
-    # per task — the init-per-process amortization of the reference's
-    # backend.initialize(), easyocr_backend.py:52-84).
-    p_fn = pr_fn = None
-    if primary or precise:
-        from .registry import get_backend
-        p_fn = get_backend(primary) if primary else None
-        pr_fn = get_backend(precise) if precise else None
-    for pdf in batches:
-        rows = [extract_document(u, h, threshold, p_fn, pr_fn)
-                for u, h in zip(pdf["url"], pdf["html"])]
-        out = pd.DataFrame.from_records(rows)
-        out["partition_id"] = pid
-        yield out[[f.name for f in EXTRACTED_SCHEMA.fields]]
+    # Resolve backends executor-side; lifecycle hooks run ONCE per task
+    # around the batch loop (the reference's backend.initialize() /
+    # cleanup() contract, base.py:49-132 — per-executor amortization for
+    # heavy backends like a real model; pure built-ins have no hooks).
+    # A string resolves against the registry AS IMPORTED ON THE WORKER
+    # (built-ins + module-registration only); a BackendSpec/callable is
+    # shipped inside the task closure and needs no registry sync.
+    def _resolve(x):
+        if x is None:
+            return None, None
+        if isinstance(x, str):
+            from .registry import get_spec
+            spec = get_spec(x)
+            return spec.fn, spec
+        from .registry import BackendSpec
+        if isinstance(x, BackendSpec):
+            return x.fn, x
+        return x, None                       # bare callable, no lifecycle
+    p_fn, p_spec = _resolve(primary)
+    pr_fn, pr_spec = _resolve(precise)
+    specs = [s for s in (p_spec, pr_spec) if s is not None]
+    for spec in specs:
+        if spec.initialize is not None:
+            ok, msg = spec.initialize()
+            if not ok:
+                raise RuntimeError(f"backend initialize failed: {msg}")
+    try:
+        for pdf in batches:
+            rows = [extract_document(u, h, threshold, p_fn, pr_fn)
+                    for u, h in zip(pdf["url"], pdf["html"])]
+            out = pd.DataFrame.from_records(rows)
+            out["partition_id"] = pid
+            yield out[[f.name for f in EXTRACTED_SCHEMA.fields]]
+    finally:
+        for spec in specs:
+            if spec.cleanup is not None:
+                spec.cleanup()
 
 
 def extract_fused(pages: DataFrame,
                   threshold: float = CONFIDENCE_THRESHOLD,
-                  primary: str | None = None,
-                  precise: str | None = None) -> DataFrame:
+                  primary=None,
+                  precise=None) -> DataFrame:
     """scan(url, html) → one narrow Arrow-batched map → extracted rows.
 
     Column pruning is explicit: only ``url`` and ``html`` enter the Python
     worker (never ``text``/``lang`` — at 100 TB the WET text column is a
     second copy of the corpus you must not move).
 
-    ``primary``/``precise`` select registered backends by name
-    (``operators/registry.py``); None = the built-in defaults.
+    ``primary``/``precise`` select backends: a string resolves against the
+    registry on the worker (``operators/registry.py``), a ``BackendSpec``
+    travels in the task closure (lifecycle hooks honored), a bare callable
+    travels in the closure with no lifecycle; None = built-in defaults.
     """
     src = pages.select("url", "html")
     return src.mapInPandas(
@@ -120,6 +144,7 @@ _FAST_SCHEMA = T.StructType([
     T.StructField("fast_error", T.StringType(), True),
     T.StructField("confidence", T.DoubleType(), False),
     T.StructField("critical", T.BooleanType(), False),
+    T.StructField("priority", T.DoubleType(), False),
     T.StructField("rule_hits", T.MapType(T.StringType(), T.LongType()), False),
     T.StructField("is_pdf", T.BooleanType(), False),
     T.StructField("partition_id", T.IntegerType(), False),
@@ -146,17 +171,19 @@ def _fast_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 recs.append(dict(url=url, fast_text=text,
                                  fast_valid=ok, fast_error=err,
                                  confidence=1.0 if ok else 0.5,
-                                 critical=False, rule_hits={}, is_pdf=True,
+                                 critical=False, priority=0.0,
+                                 rule_hits={}, is_pdf=True,
                                  partition_id=pid))
                 continue
             html_str = payload.decode("utf-8", errors="replace")
             text, _ = fast_extract_html(html_str)
             ok, err = validate_text(text)
             conf = estimate_confidence(text)
-            crit, _s, hits = detect_critical(text)
+            det = detect_critical_full(text)
             recs.append(dict(url=url, fast_text=text,
                              fast_valid=ok, fast_error=err, confidence=conf,
-                             critical=crit, rule_hits=hits, is_pdf=False,
+                             critical=det["flag"], priority=det["priority"],
+                             rule_hits=det["hits"], is_pdf=False,
                              partition_id=pid))
         yield pd.DataFrame.from_records(recs)[
             [f.name for f in _FAST_SCHEMA.fields]]
@@ -185,7 +212,8 @@ def escalation_predicate(threshold: float = CONFIDENCE_THRESHOLD):
 
 
 def extract_two_pass(pages: DataFrame,
-                     threshold: float = CONFIDENCE_THRESHOLD) -> DataFrame:
+                     threshold: float = CONFIDENCE_THRESHOLD,
+                     budget: int | None = None) -> DataFrame:
     """Explicit fast → filter → precise → join-back ``coalesce`` topology.
 
     The persisted intermediate carries NO payload bytes (only the fast
@@ -194,16 +222,28 @@ def extract_two_pass(pages: DataFrame,
     never a cache of the corpus. The join-back is an equi left join on
     ``url``, broadcast-eligible because the escalated side is small and
     AQE-right-sized at large scale (SURVEY.md §4.1 R1).
+
+    ``budget`` (O3): escalate only the top-``budget`` flagged rows by
+    detector priority (ties → url) — the budgeted-verification mode the
+    reference's detector priority score implies but never consumed
+    (mantra_detector.py:253-271). Planned as TakeOrdered (per-partition
+    heaps + driver merge of k), never a full sort. ``budget=None``
+    escalates every flagged row and is byte-identical to the fused path.
     """
     fast = pages.select("url", "html").mapInPandas(_fast_pass, _FAST_SCHEMA)
     fast = fast.persist()
     esc = escalation_predicate(threshold)
-    flagged_urls = fast.filter(esc).select("url")
+    flagged = fast.filter(esc)
+    if budget is not None:
+        flagged = (flagged.orderBy(F.desc("priority"), F.asc("url"))
+                   .limit(budget))
+    flagged_urls = flagged.select("url")
     precise_src = pages.select("url", "html").join(
         flagged_urls, "url", "left_semi")
     precise = precise_src.mapInPandas(_precise_pass, _PRECISE_SCHEMA)
-    joined = fast.join(precise, "url", "left")
-    escalated = F.col("precise_text").isNotNull() | esc   # esc excludes PDFs
+    chosen = flagged_urls.withColumn("_chosen", F.lit(True))
+    joined = fast.join(precise, "url", "left").join(chosen, "url", "left")
+    escalated = F.col("_chosen").isNotNull()   # esc ∧ within budget
     final_text = F.when(F.col("precise_valid") == F.lit(True),
                         F.col("precise_text")).otherwise(F.col("fast_text"))
     final_ok = F.when(F.col("precise_valid") == F.lit(True), F.lit(True)) \

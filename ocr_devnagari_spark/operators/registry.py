@@ -25,25 +25,57 @@ from __future__ import annotations
 
 import re
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from ..extract_core import canon, fast_extract_html, precise_extract_html
 
-_REGISTRY: dict[str, Callable[[str], str]] = {}
+
+@dataclass(frozen=True)
+class BackendSpec:
+    """Backend contract (``backends/base.py:49-132`` analog): the pure
+    extraction callable plus cost metadata (``base.py:62-71``:
+    ``is_free`` / ``cost_per_1000_pages``) and optional per-executor
+    lifecycle hooks (``base.py`` ``initialize() -> (ok, msg)`` /
+    ``cleanup()``). The hooks run once per task in the extraction stages —
+    the init-per-process amortization a heavy backend (a real model)
+    needs; pure built-ins leave them None."""
+
+    fn: Callable[[str], str]
+    is_free: bool = True
+    cost_per_1000_pages: float = 0.0
+    initialize: Callable[[], tuple] | None = None
+    cleanup: Callable[[], None] | None = None
 
 
-def register_backend(name: str, fn: Callable[[str], str]) -> None:
+_REGISTRY: dict[str, BackendSpec] = {}
+
+
+def register_backend(name: str, fn: Callable[[str], str], *,
+                     is_free: bool = True,
+                     cost_per_1000_pages: float = 0.0,
+                     initialize: Callable[[], tuple] | None = None,
+                     cleanup: Callable[[], None] | None = None) -> None:
     if name in _REGISTRY:
         raise ValueError(f"backend {name!r} already registered")
-    _REGISTRY[name] = fn
+    _REGISTRY[name] = BackendSpec(fn, is_free, cost_per_1000_pages,
+                                  initialize, cleanup)
 
 
-def get_backend(name: str) -> Callable[[str], str]:
+def get_spec(name: str) -> BackendSpec:
     try:
         return _REGISTRY[name]
     except KeyError:
         raise ValueError(
             f"unknown backend {name!r}; available: {sorted(_REGISTRY)}"
         ) from None
+
+
+def get_backend(name: str) -> Callable[[str], str]:
+    return get_spec(name).fn
+
+
+def backend_cost_per_page(name: str) -> float:
+    return get_spec(name).cost_per_1000_pages / 1000.0
 
 
 def available_backends() -> list:
@@ -68,5 +100,11 @@ def _naive(html_str: str) -> str:
 
 
 register_backend("fast", _fast)
-register_backend("precise", precise_extract_html)
+# The precise slot carries the reference's paid-API unit cost as METADATA
+# (gemini_backend.py:146-158: ~1000 input + 500 output tokens/page at
+# $0.50/$3.00 per 1M → ~$2 per 1000 pages) so the hybrid's cost accounting
+# has the same signal shape; the callable itself is local and
+# deterministic. A real remote backend swaps the fn and keeps the field.
+register_backend("precise", precise_extract_html,
+                 is_free=False, cost_per_1000_pages=2.0)
 register_backend("naive", _naive)

@@ -254,8 +254,17 @@ def run_extract_job(
     staged = spark.read.parquet(*files)
     lin.append(lineage_rows(staged, snap),
                job_token=f"lineage-{job_token}" if job_token else None)
+    # A2 cost accounting (gemini_backend.py:25-80 analog): dollar cost
+    # derived from the SAME in-flight observe counters — every row pays
+    # the fast backend's unit cost, escalated rows additionally pay the
+    # precise backend's (the hybrid's raison d'être is exactly this
+    # number: escalation fraction × paid-backend unit cost).
+    from ..operators.registry import backend_cost_per_page
+    est_cost = (metrics["rows"] * backend_cost_per_page("fast")
+                + metrics["escalated"] * backend_cost_per_page("precise"))
     summary = {"snapshot_id": snap, "rows": n, "resumed": False,
-               "metrics": metrics}
+               "metrics": metrics,
+               "estimated_cost_usd": round(est_cost, 6)}
     if dedup == "exact":
         summary["dedup_marked"] = staged.filter(
             F.col("duplicate_of").isNotNull()).count()

@@ -1,0 +1,67 @@
+"""CLI smoke tests: each subcommand end-to-end on a tiny corpus (the
+reference's first-touch surface, cli.py:59-825)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ocr_devnagari_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    from ocr_devnagari_spark.corpus import write_corpus
+    d = str(tmp_path_factory.mktemp("clicorpus"))
+    write_corpus(d, 60)
+    return d
+
+
+def _run(capsys, argv) -> tuple[int, dict]:
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_validate(spark, tiny_corpus, capsys):
+    rc, out = _run(capsys, ["--cores", "4", "validate",
+                            "--corpus", tiny_corpus])
+    assert rc == 0
+    assert out["rows"] == 60 and out["duplicate_urls"] == 0
+    assert out["pdf_rows"] > 0
+    assert len(out["size_p50_p95_p99"]) == 3
+
+
+def test_cli_extract_resume_bench(spark, tiny_corpus, tmp_path, capsys):
+    root = str(tmp_path / "tables")
+    rc, out = _run(capsys, ["--cores", "4", "extract",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "c1", "--limit", "40",
+                            "--dedup", "exact"])
+    assert rc == 0 and out["rows"] == 40
+    assert out["estimated_cost_usd"] >= 0.0
+
+    rc, out = _run(capsys, ["--cores", "4", "resume",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "c2", "--dedup", "exact"])
+    assert rc == 0 and out["rows"] == 20
+
+    # same token again → idempotent no-op
+    rc, out = _run(capsys, ["--cores", "4", "resume",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "c2"])
+    assert rc == 0 and out["rows"] == 0 and out["resumed"]
+
+    rc, out = _run(capsys, ["--cores", "4", "bench",
+                            "--corpus", tiny_corpus, "--reps", "1"])
+    assert rc == 0 and out["docs"] == 60 and out["docs_per_sec"] > 0
+
+
+def test_cli_backends(capsys):
+    rc, out = _run(capsys, ["backends"])
+    assert rc == 0
+    names = {b["name"] for b in out["backends"]}
+    assert {"fast", "precise", "naive"} <= names
+    costs = {b["name"]: b["cost_per_1000_pages"] for b in out["backends"]}
+    assert costs["fast"] == 0.0 and costs["precise"] > 0.0

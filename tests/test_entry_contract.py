@@ -16,18 +16,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+# Sweep the driver's gate SF (0.01) AND 0.1: boundary-sensitive queries
+# (sessionize gap edges, top-k ties) have passed small SFs by luck before
+# and only diverged at sf0.1.
+SF_DIRS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-@pytest.fixture(scope="module")
-def duck():
+@pytest.fixture(scope="module", params=SF_DIRS,
+                ids=[os.path.basename(d) for d in SF_DIRS])
+def sf_duck(request):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return con
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{request.param}/{t}.parquet'")
+    yield request.param, con
+    con.close()
 
 
 def _norm(v):
@@ -49,9 +55,10 @@ ALL_QUERIES = sorted(entrymod.queries())
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
-def test_query_vs_oracle(spark, duck, name):
+def test_query_vs_oracle(spark, sf_duck, name):
+    sf_dir, duck = sf_duck
     qfn = entrymod.queries()[name]
-    sdf = qfn(spark, SF_DIR)
+    sdf = qfn(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
     oracles = entrymod.oracle_sql()

@@ -61,6 +61,33 @@ def test_two_pass_equals_fused(spark, corpus_dir):
     assert a == b
 
 
+def test_budgeted_escalation(spark, corpus_dir):
+    """O3: budget=∞ is byte-identical to unbudgeted; budget=k escalates
+    exactly the top-k flagged rows by detector priority."""
+    pages = read_pages(spark, corpus_dir)
+    cols = ["url", "text", "success", "confidence", "error",
+            "backend_used", "needs_verification"]
+    unbudgeted = {r.url: tuple(r)
+                  for r in extract_two_pass(pages).select(cols).collect()}
+    infinite = {r.url: tuple(r)
+                for r in extract_two_pass(pages, budget=10**9)
+                .select(cols).collect()}
+    assert unbudgeted == infinite
+
+    n_flagged = sum(1 for v in unbudgeted.values()
+                    if v[cols.index("backend_used")] == "fast+precise")
+    assert n_flagged > 10
+    k = n_flagged // 2
+    budgeted = extract_two_pass(pages, budget=k).select(cols).collect()
+    esc_urls = {r.url for r in budgeted if r.backend_used == "fast+precise"}
+    assert len(esc_urls) == k
+    # non-escalated rows fall back to the fast result, text included
+    by_url = {r.url: r for r in budgeted}
+    for url, v in unbudgeted.items():
+        if url not in esc_urls:
+            assert by_url[url].backend_used in ("fast", "pdf")
+
+
 def test_partitioning_invariance(spark, corpus_dir, golden_path):
     """Output must be identical under repartition(1) / repartition(16) /
     salted-by-hash partitioning — the property that carries byte-identity

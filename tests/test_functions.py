@@ -31,6 +31,13 @@ SAMPLES = [
     "def f(x): return x * 2  # code sample with enough length to pass",
     "1234 5678 91011 1213 1415 1617 numbers 1819 2021 and more 2324",
     "",
+    # families 5-7 + recommendation tiers
+    "मन्त्र विनियोग ऋषि छन्द देवता की व्याख्या यहाँ है",   # 5 section terms
+    "शिव और गणेश की कथा सुनाते हैं",                      # deity names
+    "श्रीचक्र मण्डल में बिन्दु और त्रिकोण होते हैं",          # yantra terms
+    "ॐ ॐ ॐ तीन बार बीज मन्त्र",                           # 3× bija → high
+    "ॐ मन्त्र विनियोग सहित",                              # bija + 2 sections
+    "कमल का फूल तालाब में खिलता है",                      # lone yantra word
 ]
 
 
@@ -61,6 +68,34 @@ def test_critical_matches_core(spark, sdf):
         flag, score, _ = detect_critical(s)
         assert abs(got[i] - score) < 1e-9, (i, s)
         assert (got[i] >= 0.6) == flag
+
+
+def test_recommendation_priority_match_core(spark, sdf):
+    """Tri-state recommendation + priority: Catalyst ≡ pure-Python core
+    on every sample, and each tier is exercised at least once."""
+    from ocr_devnagari_spark.extract_core import detect_critical_full
+    from ocr_devnagari_spark.functions.text import (
+        detector_recommendation,
+        priority_score,
+    )
+    rows = {r.i: r for r in sdf.select(
+        "i", detector_recommendation(F.col("text")).alias("rec"),
+        priority_score(F.col("text")).alias("p")).collect()}
+    seen = set()
+    for i, s in enumerate(SAMPLES):
+        want = detect_critical_full(s)
+        assert rows[i].rec == want["recommendation"], (i, s)
+        assert abs(rows[i].p - want["priority"]) < 1e-9, (i, s)
+        seen.add(rows[i].rec)
+    assert seen == {"skip", "verify", "high_priority"}
+    # reference tier formulas (mantra_detector.py:253-271)
+    for i in range(len(SAMPLES)):
+        if rows[i].rec == "high_priority":
+            assert rows[i].p == 1.0
+        elif rows[i].rec == "verify":
+            assert 0.5 <= rows[i].p <= 0.9
+        else:
+            assert rows[i].p < 0.5
 
 
 def test_lang_id_signal(spark, sdf):

@@ -64,3 +64,56 @@ def test_unknown_backend_fails_in_stage(spark, corpus_dir):
     with pytest.raises(Exception) as ei:
         extract_fused(pages, primary="bogus").collect()
     assert "unknown backend" in str(ei.value)
+
+
+def test_cost_metadata_surface():
+    from ocr_devnagari_spark.operators.registry import (
+        backend_cost_per_page,
+        get_spec,
+    )
+    assert get_spec("fast").is_free and backend_cost_per_page("fast") == 0.0
+    assert not get_spec("precise").is_free
+    assert backend_cost_per_page("precise") == pytest.approx(0.002)
+
+
+def test_lifecycle_hooks_run_per_task(spark, corpus_dir, tmp_path):
+    """initialize()/cleanup() (base.py:49-132 contract) must run on the
+    EXECUTOR side around the batch loop — observable here because local
+    mode shares the filesystem."""
+    import glob
+    import os
+    import uuid
+
+    marker_dir = str(tmp_path / "hooks")
+    os.makedirs(marker_dir)
+
+    def _init():
+        with open(os.path.join(marker_dir, f"init-{uuid.uuid4().hex}"), "w"):
+            pass
+        return True, "ok"
+
+    def _cleanup():
+        with open(os.path.join(marker_dir, f"done-{uuid.uuid4().hex}"), "w"):
+            pass
+
+    from ocr_devnagari_spark.operators.registry import BackendSpec
+    # a runtime-registered NAME is invisible to worker processes (they
+    # re-import the registry); a BackendSpec ships in the task closure
+    hooked = BackendSpec(get_backend("fast"), initialize=_init,
+                         cleanup=_cleanup)
+    pages = read_pages(spark, corpus_dir).limit(40).repartition(3)
+    n = extract_fused(pages, primary=hooked).count()
+    assert n == 40
+    inits = glob.glob(f"{marker_dir}/init-*")
+    dones = glob.glob(f"{marker_dir}/done-*")
+    assert len(inits) >= 1 and len(dones) == len(inits)
+
+
+def test_failed_initialize_fails_task(spark, corpus_dir):
+    from ocr_devnagari_spark.operators.registry import BackendSpec
+    bad = BackendSpec(get_backend("fast"),
+                      initialize=lambda: (False, "no model file"))
+    pages = read_pages(spark, corpus_dir).limit(5)
+    with pytest.raises(Exception) as ei:
+        extract_fused(pages, primary=bad).collect()
+    assert "initialize failed" in str(ei.value)
