@@ -65,15 +65,16 @@ def main() -> None:
     queries["q_extract_warm"] = round(dt2, 3)
     docs_per_sec = max(docs_per_sec, n / dt2)
 
-    # operator-surface queries on the driver tables (best of 2 runs: this
-    # host shows multi-second hypervisor stalls; a single cold sample can
-    # be 10-50× the true cost)
+    # operator-surface queries on the driver tables (best of 3 runs: this
+    # host shows multi-second hypervisor stalls — measured 5× run-to-run
+    # variance on identical plans — so a single sample, or even two inside
+    # one stall window, can read 10-50× the true cost)
     import __spark_entry__ as em
     qs = em.queries()
     for name in ("tpch_q1", "tpch_q3_top10", "dedup_minhash",
                  "sim_cosine_topk", "quality_scores", "m5_route_stats"):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()

@@ -166,6 +166,13 @@ this host's linear region, is the faithful sandbox proxy for that.
 `spark-submit --master local[N] --py-files <pkg.zip> submit_job.py`
 (bare session, no repo-path dependence); a second submission with a new
 job token resumes to `rows=0` (idempotent). See `submit_job.py`.
+
+**Escalated-path cost (round 2).** Escalated documents used to tokenize
+the HTML twice (fast pass + precise DOM rebuild); `extract_document` now
+materializes the event stream once. Measured single-threaded on the 68
+escalated docs of the 500-doc verify corpus, best of 3 × 20 loops:
+1.39 s → 1.07 s (**~1.30× on escalation-heavy input**; ~8% on the full
+mixed corpus, where ~14% of rows escalate).
 """)
 
 
