@@ -318,7 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_jaccard(spark, sf_dir):
         d = (_t(spark, sf_dir, "documents")
              .filter(F.col("source") == "src0").select("doc_id", "text"))
-        return jaccard_pairs(d, n=2, threshold=0.05)
+        # max_df=None: the DuckDB oracle applies no df cap, so the driver
+        # query must be the uncapped-exact variant at ANY scale factor
+        # (the default cap is the production-scale path).
+        return jaccard_pairs(d, n=2, threshold=0.05, max_df=None)
     q["dedup_jaccard"] = dedup_jaccard
 
     # ---- dedup: MinHash LSH (rows-only; pytest has the brute oracle) ----

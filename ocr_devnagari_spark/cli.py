@@ -46,9 +46,13 @@ def cmd_validate(args) -> int:
         .alias("size_p50_p95_p99"),
         (F.count("*") - F.countDistinct("url")).alias("duplicate_urls"),
     ).first().asDict()
-    stats["size_p50_p95_p99"] = [int(x) for x in stats["size_p50_p95_p99"]]
+    # zero rows → approx_percentile is NULL; report, don't traceback —
+    # an empty corpus is exactly what this command exists to catch
+    pct = stats["size_p50_p95_p99"]
+    stats["size_p50_p95_p99"] = [int(x) for x in pct] if pct else None
     print(json.dumps({"command": "validate", "corpus": args.corpus, **stats}))
-    ok = stats["null_payloads"] == 0 and stats["duplicate_urls"] == 0
+    ok = (stats["rows"] > 0 and stats["null_payloads"] == 0
+          and stats["duplicate_urls"] == 0)
     return 0 if ok else 1
 
 
@@ -66,6 +70,8 @@ def cmd_extract(args) -> int:
         rebalance_mode=args.rebalance,
         limit_pending=args.limit,
         dedup=args.dedup,
+        primary=args.backend,
+        precise=args.precise,
     )
     summary["metrics"] = dict(summary.get("metrics") or {})
     print(json.dumps({"command": "extract", **summary}))
@@ -131,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
         e.add_argument("--dedup", choices=["none", "exact"], default="none")
         e.add_argument("--rebalance", choices=["none", "salted"],
                        default="none")
+        e.add_argument("--backend", default=None,
+                       help="primary engine by registry name "
+                            "(default: built-in 'fast')")
+        e.add_argument("--precise", default=None,
+                       help="escalation engine by registry name "
+                            "(default: built-in 'precise')")
         e.set_defaults(fn=cmd_extract)
 
     b = sub.add_parser("bench", help="extraction throughput on a corpus")

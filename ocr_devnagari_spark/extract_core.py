@@ -662,10 +662,10 @@ def extract_document(url: str, payload: bytes,
     # Default path tokenizes ONCE: the event list feeds the fast pass and,
     # for the escalated minority, the precise DOM build — previously the
     # tokenizer (the per-doc hot loop) ran twice on escalated rows. Custom
-    # backends take the raw string (registry contract: (html_str) -> str).
-    events = None
-    if primary is None or precise is None:
-        events = materialize_events(html_str)
+    # backends take the raw string (registry contract: (html_str) -> str);
+    # with a custom PRIMARY, events are never pre-built — the default
+    # precise path tokenizes lazily, only for the escalated minority.
+    events = materialize_events(html_str) if primary is None else None
     fast_text = primary(html_str) if primary else fast_extract_html(
         events)[0]
     ok, err = validate_text(fast_text)
@@ -681,7 +681,8 @@ def extract_document(url: str, payload: bytes,
         }
 
     precise_text = (precise(html_str) if precise
-                    else precise_extract_html(events))
+                    else precise_extract_html(
+                        events if events is not None else html_str))
     p_ok, p_err = validate_text(precise_text)
     if p_ok:
         text, success, error = precise_text, True, None

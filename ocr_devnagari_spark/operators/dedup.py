@@ -156,13 +156,18 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.8,
                   k: int = 32, bands: int = 8, rows: int = 4,
-                  n: int = 3, verify: str = "exact") -> DataFrame:
+                  n: int = 3, verify: str = "exact",
+                  verify_max_df: int | None = None) -> DataFrame:
     """Candidates from LSH, verified on candidate ids only (never
     all-pairs). Returns (id_a, id_b, jaccard) ≥ threshold.
 
     ``verify='exact'``   — re-shingle ONLY the candidate documents and
     compute exact Jaccard (the correctness-grade mode; cost ∝ candidate
-    volume, not corpus size).
+    volume, not corpus size). EXACT means exact: ``verify_max_df`` is
+    None by default (no stop-shingle cap inside the verification —
+    candidates are already LSH-bounded, and the join cost here grows with
+    true near-dup cluster size, which is what you asked to find). Set it
+    to trade exactness for safety on adversarial candidate sets.
     ``verify='estimate'`` — Jaccard ≈ fraction of agreeing minhashes,
     computed from the signatures already in hand: zero further touches of
     the document table (the RefinedWeb/C4-style 100-TB mode — at that
@@ -186,7 +191,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     ids = (cand.select(F.col("id_a").alias("id"))
            .union(cand.select("id_b")).distinct())
     subset = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    verified = jaccard_pairs(subset, id_col, text_col, n, threshold)
+    verified = jaccard_pairs(subset, id_col, text_col, n, threshold,
+                             max_df=verify_max_df)
     return verified.join(cand, ["id_a", "id_b"], "left_semi")
 
 

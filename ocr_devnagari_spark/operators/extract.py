@@ -94,12 +94,17 @@ def _fused_batches(batches: Iterator[pd.DataFrame], threshold: float,
     p_fn, p_spec = _resolve(primary)
     pr_fn, pr_spec = _resolve(precise)
     specs = [s for s in (p_spec, pr_spec) if s is not None]
-    for spec in specs:
-        if spec.initialize is not None:
-            ok, msg = spec.initialize()
-            if not ok:
-                raise RuntimeError(f"backend initialize failed: {msg}")
+    inited: list = []        # cleanup exactly the specs whose initialize
+    #                          ran — a failed SECOND initialize must still
+    #                          clean up the first (workers are reused
+    #                          across tasks; a leak persists)
     try:
+        for spec in specs:
+            if spec.initialize is not None:
+                ok, msg = spec.initialize()
+                if not ok:
+                    raise RuntimeError(f"backend initialize failed: {msg}")
+            inited.append(spec)
         for pdf in batches:
             rows = [extract_document(u, h, threshold, p_fn, pr_fn)
                     for u, h in zip(pdf["url"], pdf["html"])]
@@ -107,7 +112,7 @@ def _fused_batches(batches: Iterator[pd.DataFrame], threshold: float,
             out["partition_id"] = pid
             yield out[[f.name for f in EXTRACTED_SCHEMA.fields]]
     finally:
-        for spec in specs:
+        for spec in inited:
             if spec.cleanup is not None:
                 spec.cleanup()
 
@@ -265,7 +270,11 @@ def extract_two_pass(pages: DataFrame,
         final_conf.alias("confidence"),
         final_err.alias("error"),
         backend.alias("backend_used"),
-        (F.col("critical") & escalated).alias("needs_verification"),
+        # plain `critical`, NOT critical & escalated: a critical row the
+        # budget deferred was never precise-verified and must stay visible
+        # to the downstream verification queue. Unbudgeted, critical ⇒
+        # flagged ⇒ chosen, so this is byte-identical to the fused path.
+        F.col("critical").alias("needs_verification"),
         "rule_hits",
         "partition_id",
     )

@@ -97,7 +97,7 @@ def _python_bucket(vec, planes) -> int:
 
 
 def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
-                    n_planes: int | None = None, seed: int = 42,
+                    n_planes: int | None = 12, seed: int = 42,
                     multiprobe: bool = True, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     target_bucket_rows: int = 1024) -> DataFrame:
@@ -107,8 +107,10 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
     partition pruning — the scan reads ~(1+p)/2^p of the files.
 
     ``n_planes=None`` derives the plane count from the table size so the
-    probed candidate set stays ≈ (1+planes)·``target_bucket_rows`` rows
-    however large the index grows."""
+    probed candidate set stays ≈ (1+planes)·``target_bucket_rows`` rows —
+    an opt-in, NOT the default, because it costs a full ``count()`` per
+    lookup; on the query path size the index ONCE (``derive_n_planes``)
+    when you build/partition it, and pass that constant here."""
     if n_planes is None:
         n_planes = derive_n_planes(emb.count(), target_bucket_rows)
     planes = hyperplanes(len(query_vec), n_planes, seed)
@@ -176,13 +178,16 @@ def knn_self_join(emb: DataFrame, threshold: float = 0.95,
     rows. ``bands`` independent hash tables keep recall up as the
     per-band bucket count grows (multi-band LSH, same construction as the
     MinHash path)."""
-    head = emb.select(F.size(vec_col)).first()
-    if head is None:            # empty input → empty pairs, not a crash
+    # dim + count in ONE action (two separate driver actions would
+    # recompute an uncached upstream plan twice)
+    head = emb.agg(F.count(F.lit(1)).alias("n"),
+                   F.first(F.size(vec_col)).alias("dim")).first()
+    if not head["n"]:           # empty input → empty pairs, not a crash
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double")
     if n_planes is None:
-        n_planes = derive_n_planes(emb.count(), target_bucket_rows)
-    planes_per_band = [hyperplanes(head[0], n_planes, seed + 7919 * b)
+        n_planes = derive_n_planes(head["n"], target_bucket_rows)
+    planes_per_band = [hyperplanes(head["dim"], n_planes, seed + 7919 * b)
                        for b in range(bands)]
     e = banded_buckets(emb, planes_per_band, id_col, vec_col)
     l, r = e.alias("l"), e.alias("r")

@@ -168,6 +168,8 @@ def run_extract_job(
     rebalance_mode: str = "none",
     limit_pending: int | None = None,
     dedup: str = "none",
+    primary: str | None = None,
+    precise: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counters.
 
@@ -198,7 +200,10 @@ def run_extract_job(
     if rebalance_mode == "salted":
         pending = rebalance(pending, cfg)
 
-    result = extract_fused(pending, cfg.confidence_threshold)
+    # ``primary``/``precise`` select engines by registry name (the
+    # reference CLI's engine whitelist); None = the built-in defaults.
+    result = extract_fused(pending, cfg.confidence_threshold,
+                           primary=primary, precise=precise)
 
     # In-flight metrics via observe() — the Spark-native analog of the
     # reference's TokenUsage accumulator monoid (gemini_backend.py:25-80):
@@ -260,8 +265,9 @@ def run_extract_job(
     # precise backend's (the hybrid's raison d'être is exactly this
     # number: escalation fraction × paid-backend unit cost).
     from ..operators.registry import backend_cost_per_page
-    est_cost = (metrics["rows"] * backend_cost_per_page("fast")
-                + metrics["escalated"] * backend_cost_per_page("precise"))
+    est_cost = (metrics["rows"] * backend_cost_per_page(primary or "fast")
+                + metrics["escalated"]
+                * backend_cost_per_page(precise or "precise"))
     summary = {"snapshot_id": snap, "rows": n, "resumed": False,
                "metrics": metrics,
                "estimated_cost_usd": round(est_cost, 6)}

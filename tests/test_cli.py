@@ -65,3 +65,38 @@ def test_cli_backends(capsys):
     assert {"fast", "precise", "naive"} <= names
     costs = {b["name"]: b["cost_per_1000_pages"] for b in out["backends"]}
     assert costs["fast"] == 0.0 and costs["precise"] > 0.0
+
+
+def test_cli_backend_whitelist(spark, tiny_corpus, tmp_path, capsys):
+    """--backend selects the engine by registry name (the reference CLI's
+    whitelist flag); naive output differs from the default fast engine."""
+    root = str(tmp_path / "naive_tables")
+    rc, out = _run(capsys, ["--cores", "4", "extract",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--backend", "naive"])
+    assert rc == 0 and out["rows"] == 60
+
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.sources.icebox import IceboxTable
+    got = IceboxTable(f"{root}/extracted").read(spark)
+    # the naive regex stripper keeps boilerplate (cookie banners etc.)
+    assert got.filter(F.lower("text").contains("cookie")).count() > 0
+
+
+def test_cli_validate_empty_corpus(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_devnagari_spark.plans.pipeline import PAGES_SCHEMA
+    d = str(tmp_path / "empty")
+    import os
+    os.makedirs(d)
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "warc_ts": pa.array([], pa.timestamp("us")),
+                      "html": pa.array([], pa.binary()),
+                      "text": pa.array([], pa.string()),
+                      "lang": pa.array([], pa.string())})
+    pq.write_table(empty, f"{d}/pages.parquet")
+    rc, out = _run(capsys, ["--cores", "4", "validate", "--corpus", d])
+    assert rc == 1 and out["rows"] == 0       # reported, not a traceback

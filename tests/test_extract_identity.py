@@ -77,7 +77,12 @@ def test_budgeted_escalation(spark, corpus_dir):
     n_flagged = sum(1 for v in unbudgeted.values()
                     if v[cols.index("backend_used")] == "fast+precise")
     assert n_flagged > 10
-    k = n_flagged // 2
+    # critical rows rank above low-confidence ones (priority ≥ 0.74 vs
+    # < 0.18), so a budget below the critical count MUST defer some
+    n_critical = sum(1 for v in unbudgeted.values()
+                     if v[cols.index("needs_verification")])
+    assert n_critical > 2
+    k = n_critical // 2
     budgeted = extract_two_pass(pages, budget=k).select(cols).collect()
     esc_urls = {r.url for r in budgeted if r.backend_used == "fast+precise"}
     assert len(esc_urls) == k
@@ -86,6 +91,14 @@ def test_budgeted_escalation(spark, corpus_dir):
     for url, v in unbudgeted.items():
         if url not in esc_urls:
             assert by_url[url].backend_used in ("fast", "pdf")
+    # a critical row the budget deferred was never verified — it must KEEP
+    # needs_verification=True for the downstream verification queue
+    nv = cols.index("needs_verification")
+    deferred_critical = [u for u, v in unbudgeted.items()
+                         if v[nv] and u not in esc_urls]
+    assert deferred_critical, "budget must defer at least one critical row"
+    for u in deferred_critical:
+        assert by_url[u].needs_verification, u
 
 
 def test_partitioning_invariance(spark, corpus_dir, golden_path):

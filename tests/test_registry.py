@@ -117,3 +117,38 @@ def test_failed_initialize_fails_task(spark, corpus_dir):
     with pytest.raises(Exception) as ei:
         extract_fused(pages, primary=bad).collect()
     assert "initialize failed" in str(ei.value)
+
+
+def test_failed_second_init_cleans_up_first(spark, corpus_dir, tmp_path):
+    """If the precise backend's initialize() fails, the already-initialized
+    primary must still be cleaned up (workers are reused across tasks)."""
+    import glob
+    import os
+    import uuid
+
+    marker_dir = str(tmp_path / "cleanup")
+    os.makedirs(marker_dir)
+
+    from ocr_devnagari_spark.operators.registry import BackendSpec
+
+    def _init_a():
+        with open(os.path.join(marker_dir, f"a-init-{uuid.uuid4().hex}"),
+                  "w"):
+            pass
+        return True, "ok"
+
+    def _cleanup_a():
+        with open(os.path.join(marker_dir, f"a-done-{uuid.uuid4().hex}"),
+                  "w"):
+            pass
+
+    a = BackendSpec(get_backend("fast"), initialize=_init_a,
+                    cleanup=_cleanup_a)
+    b = BackendSpec(get_backend("precise"),
+                    initialize=lambda: (False, "model missing"))
+    pages = read_pages(spark, corpus_dir).limit(10).coalesce(1)
+    with pytest.raises(Exception):
+        extract_fused(pages, primary=a, precise=b).collect()
+    inits = glob.glob(f"{marker_dir}/a-init-*")
+    dones = glob.glob(f"{marker_dir}/a-done-*")
+    assert len(inits) >= 1 and len(dones) == len(inits)
