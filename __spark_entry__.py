@@ -324,6 +324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jaccard_pairs(d, n=2, threshold=0.05, max_df=None)
     q["dedup_jaccard"] = dedup_jaccard
 
+    # ---- dedup: transitive-closure components over a pair graph ----
+    def dedup_components(spark, sf_dir):
+        # Deterministic chained graph (chains of ≤4 via +1 edges, merged
+        # by sparse +50 long-range edges): min-id-wins on RAW pairs would
+        # mislabel every chain tail — only transitive closure gets these
+        # right, which is exactly what the oracle's recursive CTE checks.
+        from ocr_devnagari_spark.operators.dedup import connected_components
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        e1 = (d.filter(F.col("doc_id") % 10 < 3)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b")))
+        e2 = (d.filter(F.col("doc_id") % 97 == 0)
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 50).alias("id_b")))
+        return connected_components(e1.unionByName(e2))
+    q["dedup_components"] = dedup_components
+
     # ---- dedup: MinHash LSH (rows-only; pytest has the brute oracle) ----
     def dedup_minhash(spark, sf_dir):
         _ensure_shipped(spark)
@@ -755,6 +772,25 @@ def oracle_sql() -> dict[str, str]:
             f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "
             "GROUP BY md5(text) HAVING count(*) > 1"),
         "dedup_jaccard": _JACCARD_SQL,
+        # components = min reachable id (unique fixpoint, so the iterative
+        # Spark propagation and the recursive CTE agree exactly).
+        # MATERIALIZED: DuckDB otherwise inlines the CTE into every
+        # recursive iteration.
+        "dedup_components": (
+            "WITH RECURSIVE jp AS MATERIALIZED ("
+            "SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents "
+            "WHERE doc_id % 10 < 3 "
+            "UNION ALL "
+            "SELECT doc_id, doc_id + 50 FROM documents "
+            "WHERE doc_id % 97 = 0), "
+            "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jp "
+            "UNION ALL SELECT id_b, id_a FROM jp), "
+            "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+            "reach(id, r) AS ("
+            "SELECT id, id FROM nodes "
+            "UNION "
+            "SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b) "
+            "SELECT id, min(r) AS component FROM reach GROUP BY id"),
         "sim_cosine_topk": (
             "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
             "WHERE vec_id = 0) "

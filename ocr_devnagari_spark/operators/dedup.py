@@ -196,6 +196,63 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     return verified.join(cand, ["id_a", "id_b"], "left_semi")
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(id, component) over the near-dup pair graph; component = MIN id
+    reachable — the transitive-closure canonicalization real dedup
+    pipelines need (min-id-wins on raw pairs alone mislabels chains:
+    (a,b),(b,c) without (a,c) leaves c pointing at b, which is itself
+    dropped).
+
+    Algorithm: min-label propagation + pointer jumping — each round every
+    node takes min(own, neighbours') label, then labels jump through one
+    indirection (comp ← label(comp)), so convergence is ~log2(diameter)
+    rounds instead of diameter. Every shuffle carries only (id, label)
+    longs.
+
+    Iterative plans need LINEAGE TRUNCATION, not caching: persist +
+    unpersist fails two ways (a short-circuiting action caches only the
+    partitions it touches, and Spark's CacheManager cascade-invalidates
+    dependent cache entries on unpersist — either way round k silently
+    re-executes rounds 0..k-1, exponential blowup by round ~4). So each
+    round's label table is checkpointed eagerly — the same discipline
+    GraphX/GraphFrames use. The checkpointed state is only (id, label)
+    longs, the algorithm's irreducible working set; with a reliable
+    checkpoint dir configured (``sc.setCheckpointDir``) use ``eager``
+    reliable checkpoints at cluster scale.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.withColumnRenamed("id", "b"), "b")
+               .select(F.col("a").alias("id"), "component"))
+        prop = (labels.union(nbr)
+                .groupBy("id")
+                .agg(F.min("component").alias("component")))
+        # pointer jump: component ← label(component) (a component value is
+        # always itself a node id, so the self-join always hits)
+        jump = prop.select(F.col("id").alias("component"),
+                           F.col("component").alias("jumped"))
+        new_labels = (prop.join(jump, "component")
+                      .select("id", F.least("component", "jumped")
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.withColumnRenamed("component", "old")
+                   .join(new_labels, "id")
+                   .filter(F.col("old") != F.col("component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_keep_list(pairs: DataFrame, all_ids: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Ids to KEEP: drop any id that appears as the greater member of a

@@ -127,6 +127,70 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
             .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
 
 
+def build_ann_index(emb: DataFrame, index_dir: str,
+                    n_planes: int | None = None, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    target_bucket_rows: int = 1024) -> dict:
+    """Materialize the ANN index as a bucket-PARTITIONED parquet table —
+    the scale path ``lsh_bucket_topk``'s docstring promises: bucket
+    membership is computed ONCE at build time, so a query is partition
+    pruning (the scan opens ~(1+planes)/2^planes of the files) instead of
+    recomputing every row's bucket per lookup. Plane count derives from
+    the table size at build time (one count, amortized over all queries);
+    plane geometry is persisted in ``_ann_meta.json`` so queries replay
+    the exact same hash family."""
+    import json
+    import os
+
+    head = emb.agg(F.count(F.lit(1)).alias("n"),
+                   F.first(F.size(vec_col)).alias("dim")).first()
+    if not head["n"]:
+        raise ValueError("cannot index an empty embedding table")
+    if n_planes is None:
+        n_planes = derive_n_planes(head["n"], target_bucket_rows)
+    planes = hyperplanes(head["dim"], n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    (emb.select(F.col(id_col), F.col(vec_col),
+                bucket_col(v, planes).alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(index_dir, "data")))
+    meta = {"dim": head["dim"], "n_planes": n_planes, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col, "n_rows": head["n"]}
+    tmp = os.path.join(index_dir, "_ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_ann_meta.json"))
+    return meta
+
+
+def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
+                   multiprobe: bool = True) -> DataFrame:
+    """Query a ``build_ann_index`` table: probe the query's bucket (+
+    Hamming-1 neighbours), exact cosine re-rank inside the candidates.
+    ``bucket`` is a hive partition column, so the probe filter is a
+    PartitionFilter — non-probed files are never opened (asserted by
+    ``test_ann_index_partition_pruning``)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    qb = _python_bucket(query_vec, planes)
+    probes = [qb] + ([qb ^ (1 << i) for i in range(meta["n_planes"])]
+                     if multiprobe else [])
+    df = spark.read.parquet(os.path.join(index_dir, "data"))
+    cand = df.filter(F.col("bucket").isin(probes))
+    v = F.col(meta["vec_col"]).cast("array<double>")
+    q = _query_lit(query_vec)
+    return (cand.select(F.col(meta["id_col"]),
+                        cosine_col(v, q).alias("_cos"))
+            .orderBy(F.desc("_cos"), F.col(meta["id_col"]))
+            .limit(k)
+            .select(F.col(meta["id_col"]),
+                    F.round("_cos", 6).alias("cosine")))
+
+
 def label_centroids(emb: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

@@ -142,3 +142,39 @@ def test_minhash_estimate_mode(spark, docs):
     for (a, b), j in est.items():
         if b >= 20_000:
             assert abs(j - _py_jaccard(texts[a], texts[b])) <= 0.25
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chains (a,b),(b,c) without (a,c): only transitive closure labels
+    the tail correctly — compared against a Python union-find oracle."""
+    from ocr_devnagari_spark.operators.dedup import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (0, 50),
+             (50, 51), (100, 101), (7, 8)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component
+           for r in connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # the chain tail 3 maps to 0, and 51 joins through the long edge
+    assert got[3] == 0 and got[51] == 0 and got[12] == 10
+
+
+def test_connected_components_empty(spark):
+    from ocr_devnagari_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0

@@ -129,3 +129,49 @@ def test_knn_self_join_auto_planes_recall_unchanged(spark):
                               target_bucket_rows=64)
         found = pairs.filter(F.col("id_b") >= 1_000_000).count()
         assert found >= n_clones       # every clone pair recovered
+
+
+def test_ann_index_equals_inline_lsh(spark, emb, tmp_path):
+    """A materialized index query returns EXACTLY the inline LSH result
+    (same plane family/seed → same candidates → same exact re-rank)."""
+    from ocr_devnagari_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    idx = str(tmp_path / "annidx")
+    meta = build_ann_index(emb, idx, n_planes=6, seed=42)
+    assert meta["n_planes"] == 6 and meta["dim"] == 64
+
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    want = [(r.vec_id, r.cosine)
+            for r in lsh_bucket_topk(emb, q, k=10, n_planes=6,
+                                     seed=42).collect()]
+    got = [(r.vec_id, r.cosine)
+           for r in ann_index_topk(spark, idx, q, k=10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_ann_index_partition_pruning(spark, emb, tmp_path):
+    """The probe filter must reach the scan as a PartitionFilter — the
+    property that makes the index O(probed buckets), not O(table)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_devnagari_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    idx = str(tmp_path / "annidx2")
+    build_ann_index(emb, idx, n_planes=5, seed=1)
+    q = emb.filter("vec_id = 3").first()["embedding"]
+    df = ann_index_topk(spark, idx, q, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the bucket probe appears inside the partition filters, so non-probed
+    # bucket directories are never opened
+    pf_line = next(line for line in plan.splitlines()
+                   if "PartitionFilters" in line)
+    assert "bucket" in pf_line and "dynamicpruning" not in pf_line
