@@ -85,6 +85,12 @@ def cheap_critical(col: Column) -> Column:
 
 DEITY_ALT_RE = "(" + "|".join(DEITY_TERMS) + ")"
 YANTRA_ALT_RE = "(" + "|".join(YANTRA_TERMS) + ")"
+# Devanagari-block gate (mirrors extract_core._DEVA_RE): every verse /
+# bija / section / deity / yantra pattern needs a char in U+0900-097F, so
+# one cheap rlike short-circuits ~30 substring scans per row on the
+# overwhelmingly non-Devanagari web majority (CASE WHEN branches evaluate
+# lazily in whole-stage codegen).
+DEVA_GATE_RE = r"[ऀ-ॿ]"
 
 
 def section_count(col: Column) -> Column:
@@ -117,14 +123,19 @@ def _family_cols(col: Column) -> dict:
 def critical_score(col: Column) -> Column:
     """Combined score = max(family scores) × (1 + 0.05·min(families−1, 5)),
     over the full 7-family cascade (verse, bija, code, numeric-table,
-    section indicators, deity names, yantra terms)."""
+    section indicators, deity names, yantra terms). Rows without a
+    Devanagari char evaluate only the code/numeric families."""
     f = _family_cols(col)
-    fam = (f["verse"] + f["bija"] + f["code"] + f["num"]
-           + f["sec"] + f["deity"] + f["yantra"])
-    mx = F.greatest(f["verse"] * F.lit(0.8), f["bija"] * F.lit(0.9),
-                    f["code"] * F.lit(0.75), f["num"] * F.lit(0.7),
-                    f["sec"].cast("double") * f["sec_score"],
-                    f["deity"] * F.lit(0.6), f["yantra"] * F.lit(0.75))
+    fam_full = (f["verse"] + f["bija"] + f["code"] + f["num"]
+                + f["sec"] + f["deity"] + f["yantra"])
+    mx_full = F.greatest(f["verse"] * F.lit(0.8), f["bija"] * F.lit(0.9),
+                         f["code"] * F.lit(0.75), f["num"] * F.lit(0.7),
+                         f["sec"].cast("double") * f["sec_score"],
+                         f["deity"] * F.lit(0.6), f["yantra"] * F.lit(0.75))
+    fam_ascii = f["code"] + f["num"]
+    mx_ascii = F.greatest(f["code"] * F.lit(0.75), f["num"] * F.lit(0.7))
+    fam = F.when(col.rlike(DEVA_GATE_RE), fam_full).otherwise(fam_ascii)
+    mx = F.when(col.rlike(DEVA_GATE_RE), mx_full).otherwise(mx_ascii)
     score = F.least(F.lit(1.0),
                     mx * (F.lit(1.0)
                           + F.least(fam - 1, F.lit(5)) * F.lit(0.05)))
@@ -134,7 +145,8 @@ def critical_score(col: Column) -> Column:
 def _high_priority(col: Column) -> Column:
     bija_cnt = F.regexp_count(col, F.lit(BIJA_RE))
     n_sec = section_count(col)
-    return (bija_cnt >= 3) | ((bija_cnt >= 1) & (n_sec >= 2))
+    return (col.rlike(DEVA_GATE_RE)
+            & ((bija_cnt >= 3) | ((bija_cnt >= 1) & (n_sec >= 2))))
 
 
 def detector_recommendation(col: Column) -> Column:

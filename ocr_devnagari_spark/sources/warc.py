@@ -1,0 +1,147 @@
+"""WARC source — read Common-Crawl-style WARC files into the pages schema.
+
+The reference ingests loose PDFs/images from a directory; the web-scale
+equivalent input is the WARC archive (ISO 28500, the format Common Crawl
+publishes). This source turns `*.warc` / `*.warc.gz` files into the same
+``(url, warc_ts, html, text, lang)`` DataFrame the rest of the engine
+consumes, so a user can point the pipeline at raw crawl output without a
+separate conversion job.
+
+Scale shape: ``binaryFile`` gives one row per archive, and record parsing
+runs inside ``mapInPandas`` — so parallelism is per-FILE, which is exactly
+how Common Crawl shards its corpus (~1 GB, ~25k-record segments; a 100 TB
+crawl is ~100k files, far more than any executor count). Records stream
+through a generator — the parser never holds more than one record's bytes
+beyond the Arrow batch being built.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+    return headers
+
+
+def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc_headers, payload_bytes) per record from a binary
+    stream. Tolerates both single-gzip-member and plain files (the caller
+    decompresses); skips malformed trailing garbage instead of raising."""
+    buf = io.BufferedReader(stream) if not isinstance(
+        stream, io.BufferedReader) else stream
+    while True:
+        line = buf.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue                      # inter-record padding
+        header_lines = []
+        while True:
+            ln = buf.readline()
+            if not ln or ln == _CRLF:
+                break
+            header_lines.append(ln.rstrip(b"\r\n"))
+        headers = _parse_headers(_CRLF.join(header_lines))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return
+        payload = buf.read(length)
+        if len(payload) < length:
+            return                        # truncated archive tail
+        yield headers, payload
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Strip the HTTP response envelope a 'response' record carries."""
+    if payload[:5] in (b"HTTP/",):
+        sep = payload.find(b"\r\n\r\n")
+        if sep >= 0:
+            return payload[sep + 4:]
+    return payload
+
+
+def _records_to_rows(content: bytes):
+    data = content
+    if data[:2] == b"\x1f\x8b":          # gzip magic (whole file or
+        data = gzip.decompress(data)     # concatenated members)
+    for headers, payload in iter_warc_records(io.BytesIO(data)):
+        if headers.get("warc-type") != "response":
+            continue                      # request/metadata/warcinfo
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.fromisoformat(
+                    raw_ts.replace("Z", "+00:00")).astimezone(
+                        timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                ts = None
+        yield {"url": url, "warc_ts": ts, "html": _http_body(payload),
+               "text": None, "lang": None}
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """``*.warc`` / ``*.warc.gz`` files → pages DataFrame
+    (``plans.pipeline.PAGES_SCHEMA``). One task per archive file."""
+    import pandas as pd
+
+    from ..plans.pipeline import PAGES_SCHEMA
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(_records_to_rows(bytes(content)))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+            yield out
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+# -- test/demo helper ---------------------------------------------------------
+
+def write_warc(path: str, records: list, compress: bool | None = None
+               ) -> str:
+    """Write a minimal valid WARC file: ``records`` =
+    [(url, iso_ts, html_bytes, warc_type), ...]. Used by tests and the
+    corpus tooling; real crawls come from the crawler, not from here."""
+    out = io.BytesIO()
+    for url, iso_ts, body, wtype in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body) if wtype == "response" else body
+        head = (f"WARC/1.0\r\n"
+                f"WARC-Type: {wtype}\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {iso_ts}\r\n"
+                f"Content-Length: {len(http)}\r\n"
+                f"\r\n").encode("latin-1")
+        out.write(head + http + b"\r\n\r\n")
+    data = out.getvalue()
+    if compress is None:
+        compress = path.endswith(".gz")
+    if compress:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path

@@ -1,0 +1,68 @@
+"""WARC source: record parsing, gzip handling, skip of non-response
+records, and end-to-end extraction over a WARC directory."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_devnagari_spark.sources.warc import (
+    read_warc_pages,
+    write_warc,
+)
+
+HTML_A = (b"<html><body><article><p>The quick brown fox paragraph is "
+          b"long enough to validate cleanly.</p></article></body></html>")
+HTML_B = (b"<html><body><nav>menu</nav><p>Second page body text that "
+          b"also exceeds the validation floor.</p></body></html>")
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc(str(d / "a.warc"), [
+        ("http://ex.com/a", "2024-01-02T03:04:05Z", HTML_A, "response"),
+        ("http://ex.com/a", "2024-01-02T03:04:05Z",
+         b"GET /a HTTP/1.1\r\n\r\n", "request"),      # must be skipped
+        ("http://ex.com/b", "2024-01-02T03:04:06Z", HTML_B, "response"),
+    ])
+    write_warc(str(d / "b.warc.gz"), [
+        ("http://ex.com/c", "2024-02-02T00:00:00Z", HTML_A, "response"),
+    ])
+    return str(d)
+
+
+def test_warc_pages_schema_and_rows(spark, warc_dir):
+    pages = read_warc_pages(spark, warc_dir)
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {"http://ex.com/a", "http://ex.com/b",
+                         "http://ex.com/c"}
+    assert bytes(rows["http://ex.com/a"].html) == HTML_A
+    assert bytes(rows["http://ex.com/c"].html) == HTML_A   # gz member
+    assert rows["http://ex.com/a"].warc_ts.isoformat() == \
+        "2024-01-02T03:04:05"
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_warc_feeds_extraction(spark, warc_dir):
+    from ocr_devnagari_spark.operators.extract import extract_fused
+    out = {r.url: r for r in
+           extract_fused(read_warc_pages(spark, warc_dir)).collect()}
+    assert out["http://ex.com/a"].success
+    assert "quick brown fox" in out["http://ex.com/a"].text
+    # nav chrome stripped by the fast path
+    assert "menu" not in out["http://ex.com/b"].text
+    assert "Second page body" in out["http://ex.com/b"].text
+
+
+def test_warc_truncated_tail_is_tolerated(spark, tmp_path):
+    p = str(tmp_path / "trunc.warc")
+    write_warc(p, [
+        ("http://ex.com/ok", "2024-01-01T00:00:00Z", HTML_A, "response"),
+    ])
+    with open(p, "ab") as f:                     # torn final record
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://ex.com/torn\r\n"
+                b"Content-Length: 99999\r\n\r\nshort")
+    rows = read_warc_pages(spark, str(tmp_path)).collect()
+    assert [r.url for r in rows] == ["http://ex.com/ok"]
