@@ -154,12 +154,16 @@ def build_ann_index(emb: DataFrame, index_dir: str,
                 bucket_col(v, planes).alias("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, "data")))
-    meta = {"dim": head["dim"], "n_planes": n_planes, "seed": seed,
-            "id_col": id_col, "vec_col": vec_col, "n_rows": head["n"]}
-    tmp = os.path.join(index_dir, "_ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, "_ann_meta.json"))
+    meta = {"dim": int(head["dim"]), "n_planes": int(n_planes),
+            "seed": int(seed), "id_col": id_col, "vec_col": vec_col,
+            "n_rows": int(head["n"])}
+    # meta rides the SAME storage layer as the data (a one-row parquet
+    # via Spark) — a driver-local open() would break the moment
+    # index_dir is s3a://... while the parquet half succeeded
+    (emb.sparkSession.createDataFrame(
+        [(json.dumps(meta),)], "meta string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "meta")))
     return meta
 
 
@@ -173,8 +177,9 @@ def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
     import json
     import os
 
-    with open(os.path.join(index_dir, "_ann_meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(
+        spark.read.parquet(os.path.join(index_dir, "meta"))
+        .first()["meta"])
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     qb = _python_bucket(query_vec, planes)
     probes = [qb] + ([qb ^ (1 << i) for i in range(meta["n_planes"])]

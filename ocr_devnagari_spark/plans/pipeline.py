@@ -178,6 +178,21 @@ def run_extract_job(
     simulating the reference's kill-9-mid-run scenario
     (``docs/RESILIENT_OCR_PLAN.md:438-471``).
     """
+    # Pre-flight the backend selection DRIVER-SIDE: a mistyped name must
+    # fail here, not executor-side mid-stage (or worse, at the cost lookup
+    # AFTER the snapshot commit — losing the summary of a job that
+    # succeeded). BackendSpec objects carry their own cost metadata.
+    from ..operators.registry import BackendSpec, get_spec
+
+    def _cost_per_page(sel, default_name: str) -> float:
+        if sel is None:
+            return get_spec(default_name).cost_per_1000_pages / 1000.0
+        if isinstance(sel, BackendSpec):
+            return sel.cost_per_1000_pages / 1000.0
+        return get_spec(sel).cost_per_1000_pages / 1000.0
+    cost_primary = _cost_per_page(primary, "fast")
+    cost_precise = _cost_per_page(precise, "precise")
+
     out = IceboxTable(cfg.extracted_table)
     lin = IceboxTable(cfg.lineage_table)
     if job_token and job_token in out.applied_tokens():
@@ -264,10 +279,8 @@ def run_extract_job(
     # the fast backend's unit cost, escalated rows additionally pay the
     # precise backend's (the hybrid's raison d'être is exactly this
     # number: escalation fraction × paid-backend unit cost).
-    from ..operators.registry import backend_cost_per_page
-    est_cost = (metrics["rows"] * backend_cost_per_page(primary or "fast")
-                + metrics["escalated"]
-                * backend_cost_per_page(precise or "precise"))
+    est_cost = (metrics["rows"] * cost_primary
+                + metrics["escalated"] * cost_precise)
     summary = {"snapshot_id": snap, "rows": n, "resumed": False,
                "metrics": metrics,
                "estimated_cost_usd": round(est_cost, 6)}

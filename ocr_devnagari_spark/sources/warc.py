@@ -10,9 +10,10 @@ separate conversion job.
 Scale shape: ``binaryFile`` gives one row per archive, and record parsing
 runs inside ``mapInPandas`` — so parallelism is per-FILE, which is exactly
 how Common Crawl shards its corpus (~1 GB, ~25k-record segments; a 100 TB
-crawl is ~100k files, far more than any executor count). Records stream
-through a generator — the parser never holds more than one record's bytes
-beyond the Arrow batch being built.
+crawl is ~100k files, far more than any executor count). Decompression is
+STREAMED (``GzipFile``, multi-member) and rows leave in bounded chunks,
+so a task holds the compressed file bytes (that part is ``binaryFile``'s
+contract) plus one decoded chunk — never the 4-5 GB decompressed archive.
 """
 
 from __future__ import annotations
@@ -59,7 +60,9 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
-            return
+            continue    # malformed header: resync at the next WARC/ line
+            #             (a `return` here would silently drop every
+            #             remaining record in a ~25k-record segment)
         payload = buf.read(length)
         if len(payload) < length:
             return                        # truncated archive tail
@@ -76,10 +79,13 @@ def _http_body(payload: bytes) -> bytes:
 
 
 def _records_to_rows(content: bytes):
-    data = content
-    if data[:2] == b"\x1f\x8b":          # gzip magic (whole file or
-        data = gzip.decompress(data)     # concatenated members)
-    for headers, payload in iter_warc_records(io.BytesIO(data)):
+    if content[:2] == b"\x1f\x8b":       # gzip magic — STREAM the members
+        #  (GzipFile reads concatenated members; gzip.decompress would
+        #  hold the whole ~4-5 GB decompressed archive as one object)
+        stream = gzip.GzipFile(fileobj=io.BytesIO(content))
+    else:
+        stream = io.BytesIO(content)
+    for headers, payload in iter_warc_records(stream):
         if headers.get("warc-type") != "response":
             continue                      # request/metadata/warcinfo
         url = headers.get("warc-target-uri")
@@ -98,23 +104,31 @@ def _records_to_rows(content: bytes):
                "text": None, "lang": None}
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_pages(spark: SparkSession, path: str,
+                    rows_per_batch: int = 1024) -> DataFrame:
     """``*.warc`` / ``*.warc.gz`` files → pages DataFrame
-    (``plans.pipeline.PAGES_SCHEMA``). One task per archive file."""
+    (``plans.pipeline.PAGES_SCHEMA``). One task per archive file; rows
+    stream out in ``rows_per_batch`` chunks, so the task working set is
+    the COMPRESSED file (held by ``binaryFile``) + one chunk of decoded
+    records — never the whole decompressed archive."""
     import pandas as pd
 
     from ..plans.pipeline import PAGES_SCHEMA
 
     files = spark.read.format("binaryFile").load(path).select("content")
+    cols = [f.name for f in PAGES_SCHEMA.fields]
 
     def parse(batches):
         for pdf in batches:
-            rows = []
             for content in pdf["content"]:
-                rows.extend(_records_to_rows(bytes(content)))
-            out = pd.DataFrame(
-                rows, columns=[f.name for f in PAGES_SCHEMA.fields])
-            yield out
+                rows = []
+                for row in _records_to_rows(bytes(content)):
+                    rows.append(row)
+                    if len(rows) >= rows_per_batch:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
 

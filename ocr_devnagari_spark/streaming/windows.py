@@ -107,3 +107,41 @@ def stream_running_user_counts(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_exact_dedup(
+    spark: SparkSession, input_dir: str, output_dir: str,
+    checkpoint_dir: str, key_col: str = "fingerprint",
+    watermark: str = "24 hours", ts_col: str = "ts",
+) -> None:
+    """Streaming exact dedup: first row per ``key_col`` wins, later copies
+    arriving within the watermark window are dropped — across
+    micro-batches AND drains (the key state lives in the state store).
+    This is the streaming analog of the batch keeper-map dedup in
+    ``plans.pipeline.exact_dedup_mark``.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    what actually bounds state: plain dropDuplicates on a non-event-time
+    subset NEVER evicts, so state grows with every distinct key ever seen
+    — the unbounded-state scale trap. The price is scoped semantics: a
+    duplicate arriving later than the watermark window after its original
+    is NOT dropped. For corpus-LIFETIME dedup, run the batch keeper-map
+    over the committed table instead.
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    if key_col == "fingerprint":
+        # derive the content fingerprint only when deduping on it — an
+        # unconditional extra column would fork the sink schema vs
+        # non-dedup writers of the same table
+        events = events.withColumn(
+            "fingerprint", F.md5(F.col("props").cast("binary")))
+    deduped = (events
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark([key_col]))
+    q = (deduped.writeStream.format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

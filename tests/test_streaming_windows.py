@@ -87,3 +87,45 @@ def test_running_user_counts_stateful(spark, landing):
         n, tv = last[r.user_id]
         assert n == r.n
         assert abs(tv - r.tv) < 1e-6
+
+
+def test_stream_exact_dedup_across_drains(spark, tmp_path):
+    """First-wins dedup state survives across separate drains: a clone of
+    a drain-1 row arriving in drain 2 is dropped by the state store."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_devnagari_spark.streaming.windows import stream_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def _write(name, rows):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 1, 0, r[1]) for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array([r[2] for r in rows]),
+        })
+        pq.write_table(t, f"{in_dir}/{name}.parquet")
+
+    _write("b1", [(1, 1, "payload-A"), (2, 2, "payload-B"),
+                  (3, 3, "payload-A")])          # in-batch duplicate
+    stream_exact_dedup(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 2                      # A kept once + B
+
+    _write("b2", [(4, 10, "payload-A"),           # cross-drain duplicate
+                  (5, 11, "payload-C")])
+    stream_exact_dedup(spark, in_dir, out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 3                      # only C added
+    props = sorted(r.props for r in got2.collect())
+    assert props == ["payload-A", "payload-B", "payload-C"]

@@ -66,3 +66,28 @@ def test_warc_truncated_tail_is_tolerated(spark, tmp_path):
                 b"Content-Length: 99999\r\n\r\nshort")
     rows = read_warc_pages(spark, str(tmp_path)).collect()
     assert [r.url for r in rows] == ["http://ex.com/ok"]
+
+
+def test_warc_malformed_length_resyncs(spark, tmp_path):
+    """One record with a bad Content-Length must not discard the rest of
+    the archive — the parser resyncs at the next WARC/ line."""
+    import gzip
+    import io
+
+    out = io.BytesIO()
+    def rec(url, body, length=None):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        ln = str(len(http)) if length is None else length
+        out.write((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                   f"Content-Length: {ln}\r\n\r\n").encode())
+        out.write(http + b"\r\n\r\n")
+    rec("http://ex.com/one", HTML_A)
+    rec("http://ex.com/bad", b"tiny", length="12, 12")   # malformed
+    rec("http://ex.com/two", HTML_B)
+    with open(tmp_path / "m.warc", "wb") as f:
+        f.write(out.getvalue())
+    rows = sorted(r.url for r in
+                  read_warc_pages(spark, str(tmp_path)).collect())
+    assert "http://ex.com/one" in rows and "http://ex.com/two" in rows
