@@ -25,6 +25,7 @@ from ocr_devnagari_spark.functions.text import (
     BPE_ISH_RE,
     bpe_ish_count,
     confidence_expr,
+    critical_flag,
     critical_score,
     lang_id,
     quality_score,
@@ -194,7 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
         route = (F.when(~validation_ok(F.col("t2"))
                         | (confidence_expr(F.col("t2")) < 0.85)
-                        | (critical_score(F.col("t2")) >= 0.6),
+                        | critical_flag(F.col("t2")),
                         F.lit("fast+precise"))
                  .otherwise(F.lit("fast")))
         return (d.select(route.alias("backend_used"))
@@ -210,7 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
         esc = (~validation_ok(F.col("t2"))
                | (confidence_expr(F.col("t2")) < 0.85)
-               | (critical_score(F.col("t2")) >= 0.6)).cast("long")
+               | critical_flag(F.col("t2"))).cast("long")
         c_fast = backend_cost_per_page("fast")
         c_precise = backend_cost_per_page("precise")
         return (d.select(esc.alias("esc"))
@@ -594,15 +595,32 @@ def _high_prio_sql(c: str) -> str:
             f"AND {_sec_cnt_sql(c)} >= 2))")
 
 
+def _mantra_sql(c: str) -> str:
+    """The reference's strict contains_mantra gate
+    (mantra_detector.py:215-216): bija>0 OR numbered verses>0 OR
+    section_count>=2 — mirrors functions.text.contains_mantra."""
+    return (f"(len(regexp_extract_all({c}, '{_sq(_BIJA)}')) > 0 "
+            f"OR len(regexp_extract_all({c}, '{_sq(_VERSE)}')) > 0 "
+            f"OR {_sec_cnt_sql(c)} >= 2)")
+
+
+def _flag_sql(c: str) -> str:
+    """contains_mantra plus the engine's code / numeric-table web
+    families — mirrors functions.text.critical_flag."""
+    return (f"({_mantra_sql(c)} "
+            f"OR len(regexp_extract_all({c}, '{_sq(_CODE)}')) > 0 "
+            f"OR len(regexp_extract_all({c}, '{_sq(_NUM)}')) >= 6)")
+
+
 def _rec_sql(c: str) -> str:
     return (f"CASE WHEN {_high_prio_sql(c)} THEN 'high_priority' "
-            f"WHEN ({_crit_expr(c)}) >= 0.6 THEN 'verify' "
+            f"WHEN {_mantra_sql(c)} THEN 'verify' "
             f"ELSE 'skip' END")
 
 
 def _priority_sql(c: str) -> str:
     return (f"CASE WHEN {_high_prio_sql(c)} THEN 1.0 "
-            f"WHEN ({_crit_expr(c)}) >= 0.6 "
+            f"WHEN {_mantra_sql(c)} "
             f"THEN 0.5 + 0.4 * ({_crit_expr(c)}) "
             f"ELSE 0.3 * ({_crit_expr(c)}) END")
 
@@ -670,7 +688,7 @@ def _a2_cost_sql() -> str:
     t2 = f"({_SPIKED_SQL})"
     esc = (f"CAST(NOT ({_valid_sql('t2')}) "
            f"OR ({_conf_sql('t2')}) < 0.85 "
-           f"OR ({_crit_expr('t2')}) >= 0.6 AS BIGINT)")
+           f"OR {_flag_sql('t2')} AS BIGINT)")
     return (f"SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             f"CAST(sum(esc) AS BIGINT) AS n_escalated, "
             # CAST AS DOUBLE: DuckDB float literals are DECIMAL, and
@@ -686,7 +704,7 @@ def oracle_sql() -> dict[str, str]:
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
-             f"OR ({_crit_expr('t2')}) >= 0.6 "
+             f"OR {_flag_sql('t2')} "
              f"THEN 'fast+precise' ELSE 'fast' END")
     return {
         "extract_wrapped": (

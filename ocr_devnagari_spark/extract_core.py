@@ -547,6 +547,8 @@ DEITY_TERMS = (
     "तारा", "बगलामुखी", "धूमावती", "मातङ्गी", "कमला",
 )
 YANTRA_TERMS = (
+    "यन्त्र", "यंत्र",    # present in BOTH lists, as in the reference
+    #                      (mantra_detector.py:105-106 and :64)
     "मण्डल", "मंडल", "चक्र", "त्रिकोण", "षट्कोण", "अष्टदल",
     "बिन्दु", "बिंदु", "भूपुर", "कमल", "पद्म", "श्रीचक्र", "श्रीयन्त्र",
 )
@@ -565,17 +567,31 @@ def detect_critical_full(text: str) -> dict:
     """Full pattern-family scoring cascade (reference parity:
     mantra_detector.py:133-238): 7 families → per-family fixed scores,
     combined = max(scores) × (1 + min(n_families−1, 5)·0.05) capped at
-    1.0; flagged when combined ≥ 0.6 (:204-230); tri-state recommendation
-    (:224-230) and verification priority score (:253-271).
+    1.0.
+
+    Gating follows the reference's STRICT rule (:215-216), not the
+    combined score: ``contains_mantra = bija_count > 0 or
+    numbered_verses > 0 or section_count >= 2`` — a deity-name-only or
+    yantra-term-only text scores 0.6-0.75 but is NOT critical and gets
+    recommendation 'skip' (common Hindi words like हरि/सूर्य must not
+    force precise escalation). The tri-state recommendation (:224-230)
+    and priority score (:253-271) key off the same rule.
+
+    ``flag`` (the escalation/needs_verification gate) additionally
+    includes the two non-Devanagari families this engine adds for web
+    corpora — code blocks and numeric tables, content a fast extractor
+    garbles silently — which have no counterpart in the reference's
+    mantra-only detector.
     """
     hits: dict = {}
     scores = []
     bija_count = 0
+    n_verse = 0
     n_sec = 0
     if _DEVA_RE.search(text):
-        n = len(_VERSE_RE.findall(text))
-        if n:
-            hits["verse"] = n
+        n_verse = len(_VERSE_RE.findall(text))
+        if n_verse:
+            hits["verse"] = n_verse
             scores.append(0.8)
         bija_count = len(_BIJA_RE.findall(text))
         if bija_count:
@@ -605,17 +621,19 @@ def detect_critical_full(text: str) -> dict:
         combined = min(1.0, max(scores) * (1 + min(len(scores) - 1, 5) * 0.05))
     else:
         combined = 0.0
-    flag = combined >= 0.6
+    contains_mantra = bija_count > 0 or n_verse > 0 or n_sec >= 2
+    flag = contains_mantra or "code" in hits or "numeric_table" in hits
     if bija_count >= 3 or (bija_count >= 1 and n_sec >= 2):
         recommendation = "high_priority"
         priority = 1.0
-    elif flag:
+    elif contains_mantra:
         recommendation = "verify"
         priority = 0.5 + 0.4 * combined
     else:
         recommendation = "skip"
         priority = 0.3 * combined
     return {"flag": flag, "score": combined, "hits": hits,
+            "contains_mantra": contains_mantra,
             "recommendation": recommendation, "priority": priority}
 
 

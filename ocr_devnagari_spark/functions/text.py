@@ -142,6 +142,26 @@ def critical_score(col: Column) -> Column:
     return F.when(fam > 0, score).otherwise(F.lit(0.0))
 
 
+def contains_mantra(col: Column) -> Column:
+    """The reference's STRICT detection gate (mantra_detector.py:215-216):
+    bija count > 0 OR numbered verses > 0 OR section count ≥ 2. Deity /
+    yantra hits alone never gate — they only feed the combined score.
+    CASE WHEN keeps the three scans lazy behind the Devanagari gate."""
+    hit = ((F.regexp_count(col, F.lit(BIJA_RE)) > 0)
+           | (F.regexp_count(col, F.lit(VERSE_RE)) > 0)
+           | (section_count(col) >= 2))
+    return F.when(col.rlike(DEVA_GATE_RE), hit).otherwise(F.lit(False))
+
+
+def critical_flag(col: Column) -> Column:
+    """The escalation / needs_verification gate: the reference's
+    ``contains_mantra`` rule plus the two non-Devanagari families this
+    engine adds for web corpora (code blocks, numeric tables)."""
+    return (contains_mantra(col)
+            | (F.regexp_count(col, F.lit(CODE_RE)) > 0)
+            | (F.regexp_count(col, F.lit(NUM_RE)) >= 6))
+
+
 def _high_priority(col: Column) -> Column:
     bija_cnt = F.regexp_count(col, F.lit(BIJA_RE))
     n_sec = section_count(col)
@@ -151,9 +171,9 @@ def _high_priority(col: Column) -> Column:
 
 def detector_recommendation(col: Column) -> Column:
     """Tri-state recommendation (mantra_detector.py:224-230):
-    'high_priority' | 'verify' | 'skip'."""
+    'high_priority' | 'verify' (contains_mantra) | 'skip'."""
     return (F.when(_high_priority(col), F.lit("high_priority"))
-            .when(critical_score(col) >= 0.6, F.lit("verify"))
+            .when(contains_mantra(col), F.lit("verify"))
             .otherwise(F.lit("skip")))
 
 
@@ -162,7 +182,7 @@ def priority_score(col: Column) -> Column:
     high_priority → 1.0; verify → 0.5 + 0.4·score; skip → 0.3·score."""
     score = critical_score(col)
     return (F.when(_high_priority(col), F.lit(1.0))
-            .when(score >= 0.6, F.lit(0.5) + F.lit(0.4) * score)
+            .when(contains_mantra(col), F.lit(0.5) + F.lit(0.4) * score)
             .otherwise(F.lit(0.3) * score))
 
 

@@ -77,8 +77,9 @@ def test_budgeted_escalation(spark, corpus_dir):
     n_flagged = sum(1 for v in unbudgeted.values()
                     if v[cols.index("backend_used")] == "fast+precise")
     assert n_flagged > 10
-    # critical rows rank above low-confidence ones (priority ≥ 0.74 vs
-    # < 0.18), so a budget below the critical count MUST defer some
+    # critical rows rank above low-confidence ones (mantra rows ≥ 0.78,
+    # code/table rows ~0.21-0.24, plain low-confidence 0.0), so a budget
+    # below the critical count MUST defer some
     n_critical = sum(1 for v in unbudgeted.values()
                      if v[cols.index("needs_verification")])
     assert n_critical > 2

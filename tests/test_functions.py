@@ -13,6 +13,8 @@ from ocr_devnagari_spark.extract_core import (
 )
 from ocr_devnagari_spark.functions.text import (
     confidence_expr,
+    contains_mantra,
+    critical_flag,
     critical_score,
     lang_id,
     quality_score,
@@ -62,12 +64,22 @@ def test_confidence_matches_core(spark, sdf):
 
 
 def test_critical_matches_core(spark, sdf):
-    got = {r.i: r.s for r in sdf.select(
-        "i", critical_score(F.col("text")).alias("s")).collect()}
+    got = {r.i: r for r in sdf.select(
+        "i", critical_score(F.col("text")).alias("s"),
+        critical_flag(F.col("text")).alias("flag"),
+        contains_mantra(F.col("text")).alias("mantra")).collect()}
+    from ocr_devnagari_spark.extract_core import detect_critical_full
     for i, s in enumerate(SAMPLES):
         flag, score, _ = detect_critical(s)
-        assert abs(got[i] - score) < 1e-9, (i, s)
-        assert (got[i] >= 0.6) == flag
+        assert abs(got[i].s - score) < 1e-9, (i, s)
+        assert got[i].flag == flag, (i, s)
+        assert got[i].mantra == detect_critical_full(s)["contains_mantra"]
+    # the strict gate, not the combined score, decides criticality:
+    # deity-only (9) and yantra-only (10, 13) samples score ≥ 0.6 but are
+    # NOT critical (reference recommends 'skip' — mantra_detector.py:215)
+    assert got[9].s >= 0.6 and not got[9].flag
+    assert got[10].s >= 0.6 and not got[10].flag
+    assert got[8].mantra          # 5 section terms → strict gate fires
 
 
 def test_recommendation_priority_match_core(spark, sdf):

@@ -45,6 +45,9 @@ def test_scalar_functions_total(text):
     assert 0.5 <= c <= 1.0 or c == 0.55      # formula range
     flag, score, hits = detect_critical(text)
     assert 0.0 <= score <= 1.0
-    assert flag == (score >= 0.6)
+    # strict gate: mantra families or the web (code/numeric) families
+    assert flag == (("bija" in hits) or ("verse" in hits)
+                    or hits.get("section", 0) >= 2
+                    or "code" in hits or "numeric_table" in hits)
     ok, err = validate_text(text)
     assert ok == (err is None)
