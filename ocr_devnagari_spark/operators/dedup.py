@@ -198,7 +198,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         reliable: bool | None = None) -> DataFrame:
     """(id, component) over the near-dup pair graph; component = MIN id
     reachable — the transitive-closure canonicalization real dedup
     pipelines need (min-id-wins on raw pairs alone mislabels chains:
@@ -218,17 +219,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     re-executes rounds 0..k-1, exponential blowup by round ~4). So each
     round's label table is checkpointed eagerly — the same discipline
     GraphX/GraphFrames use. The checkpointed state is only (id, label)
-    longs, the algorithm's irreducible working set; with a reliable
-    checkpoint dir configured (``sc.setCheckpointDir``) use ``eager``
-    reliable checkpoints at cluster scale.
+    longs, the algorithm's irreducible working set.
+
+    Checkpoint RELIABILITY is auto-detected (override with ``reliable``):
+    when ``sc.setCheckpointDir`` is configured, rounds use reliable
+    ``checkpoint(eager=True)`` — blocks land on the shared store, so an
+    executor loss mid-iteration recomputes nothing and kills nothing.
+    ``localCheckpoint`` (the local-mode default) stores blocks on
+    executors: non-recomputable lineage, one lost executor fails the job
+    — fine on local[N], wrong on a 1000-executor cluster.
     """
+    sc = pairs.sparkSession.sparkContext
+    if reliable is None:
+        reliable = sc.getCheckpointDir() is not None
+    if reliable and sc.getCheckpointDir() is None:
+        raise ValueError("reliable=True needs sc.setCheckpointDir(...)")
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if reliable
+                else df.localCheckpoint(eager=True))
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (sym.select(F.col("a").alias("id")).distinct()
-              .withColumn("component", F.col("id"))
-              .localCheckpoint(eager=True))
+    sym = ckpt(sym)
+    labels = ckpt(sym.select(F.col("a").alias("id")).distinct()
+                  .withColumn("component", F.col("id")))
     for _ in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("id", "b"), "b")
                .select(F.col("a").alias("id"), "component"))
@@ -239,10 +255,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # always itself a node id, so the self-join always hits)
         jump = prop.select(F.col("id").alias("component"),
                            F.col("component").alias("jumped"))
-        new_labels = (prop.join(jump, "component")
-                      .select("id", F.least("component", "jumped")
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
+        new_labels = ckpt(prop.join(jump, "component")
+                          .select("id", F.least("component", "jumped")
+                                  .alias("component")))
         changed = (labels.withColumnRenamed("component", "old")
                    .join(new_labels, "id")
                    .filter(F.col("old") != F.col("component"))

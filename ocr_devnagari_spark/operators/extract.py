@@ -112,9 +112,19 @@ def _fused_batches(batches: Iterator[pd.DataFrame], threshold: float,
             out["partition_id"] = pid
             yield out[[f.name for f in EXTRACTED_SCHEMA.fields]]
     finally:
+        errs = []
         for spec in inited:
             if spec.cleanup is not None:
-                spec.cleanup()
+                try:
+                    spec.cleanup()
+                except Exception as e:     # noqa: BLE001 — every inited
+                    errs.append(e)         # backend must get its attempt:
+                    #                        workers are reused across
+                    #                        tasks, a skipped cleanup leaks
+        import sys
+        if errs and sys.exc_info()[0] is None:
+            raise errs[0]      # surface cleanup failure, but never mask
+            #                    an in-flight task error with it
 
 
 def extract_fused(pages: DataFrame,

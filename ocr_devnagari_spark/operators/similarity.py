@@ -127,6 +127,18 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
             .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
 
 
+def _index_version_dir(index_dir: str) -> str:
+    """Resolve the committed index version via the ``_current`` pointer
+    (same atomic-swap discipline as ``sources/icebox.py``)."""
+    import os
+
+    cp = os.path.join(index_dir, "_current")
+    if not os.path.exists(cp):
+        raise FileNotFoundError(f"no committed ANN index in {index_dir}")
+    with open(cp) as f:
+        return os.path.join(index_dir, f.read().strip())
+
+
 def build_ann_index(emb: DataFrame, index_dir: str,
                     n_planes: int | None = None, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -137,10 +149,20 @@ def build_ann_index(emb: DataFrame, index_dir: str,
     pruning (the scan opens ~(1+planes)/2^planes of the files) instead of
     recomputing every row's bucket per lookup. Plane count derives from
     the table size at build time (one count, amortized over all queries);
-    plane geometry is persisted in ``_ann_meta.json`` so queries replay
-    the exact same hash family."""
+    plane geometry is persisted alongside the data so queries replay the
+    exact same hash family.
+
+    The build is ATOMIC: data + meta land in a fresh ``v-<uuid>`` dir and
+    become visible only when the ``_current`` pointer swaps (the icebox
+    commit discipline). Writing data then meta in place could crash
+    in between and leave NEW bucket assignments under OLD plane geometry
+    — queries would silently probe the wrong buckets. A crashed build
+    leaves only an invisible orphan dir; the previous version keeps
+    serving. The superseded version is removed after the swap."""
     import json
     import os
+    import shutil
+    import uuid
 
     head = emb.agg(F.count(F.lit(1)).alias("n"),
                    F.first(F.size(vec_col)).alias("dim")).first()
@@ -150,10 +172,12 @@ def build_ann_index(emb: DataFrame, index_dir: str,
         n_planes = derive_n_planes(head["n"], target_bucket_rows)
     planes = hyperplanes(head["dim"], n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
+    version = f"v-{uuid.uuid4().hex}"
+    vdir = os.path.join(index_dir, version)
     (emb.select(F.col(id_col), F.col(vec_col),
                 bucket_col(v, planes).alias("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
-     .parquet(os.path.join(index_dir, "data")))
+     .parquet(os.path.join(vdir, "data")))
     meta = {"dim": int(head["dim"]), "n_planes": int(n_planes),
             "seed": int(seed), "id_col": id_col, "vec_col": vec_col,
             "n_rows": int(head["n"])}
@@ -163,7 +187,18 @@ def build_ann_index(emb: DataFrame, index_dir: str,
     (emb.sparkSession.createDataFrame(
         [(json.dumps(meta),)], "meta string")
      .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(index_dir, "meta")))
+     .parquet(os.path.join(vdir, "meta")))
+    old = None
+    cp = os.path.join(index_dir, "_current")
+    if os.path.exists(cp):
+        with open(cp) as f:
+            old = f.read().strip()
+    tmp = cp + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, cp)                      # THE atomic commit point
+    if old and old != version:               # superseded, now invisible
+        shutil.rmtree(os.path.join(index_dir, old), ignore_errors=True)
     return meta
 
 
@@ -177,6 +212,7 @@ def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
     import json
     import os
 
+    index_dir = _index_version_dir(index_dir)
     meta = json.loads(
         spark.read.parquet(os.path.join(index_dir, "meta"))
         .first()["meta"])

@@ -118,26 +118,15 @@ def lineage_rows(extracted: DataFrame, snapshot_id: int) -> DataFrame:
             .select([f.name for f in LINEAGE_SCHEMA.fields]))
 
 
-def exact_dedup_mark(staged: DataFrame,
-                     prior: DataFrame | None = None) -> DataFrame:
-    """In-job exact dedup — MARK, don't drop: every url still commits (so
-    resume converges to zero pending); non-canonical copies carry
-    ``duplicate_of`` = the canonical url for their fingerprint. Consumers
-    filter ``duplicate_of IS NULL``. Dropping rows instead would leave the
-    dropped urls pending forever and re-commit them as duplicates on the
-    next resume.
-
-    Scale shape: the keeper map is a groupBy over the staged files'
-    (fingerprint, url) columns only — parquet column pruning means the
-    shuffle carries ~48-byte pairs, never the extracted text — and the
-    join-back broadcasts the (small, dup-fraction-sized) keeper map, so no
-    Exchange ever carries the payload (asserted by
-    ``test_dedup_mark_shuffles_no_payload``). ``prior`` = (fingerprint,
-    url) of canonical rows from already-committed snapshots; they take
-    precedence as keepers, so resumed / incremental runs mark cross-run
-    duplicates too.
-    """
-    grp = (staged.select("fingerprint", "url")
+def keeper_map(pairs: DataFrame, prior: DataFrame | None = None) -> DataFrame:
+    """(fingerprint, keep_url) for every fingerprint that is duplicated in
+    this batch or already committed: the canonical url per fingerprint.
+    ``pairs`` = the batch's (fingerprint, url) columns only — parquet
+    column pruning keeps the groupBy shuffle at ~48-byte pairs, never the
+    text. ``prior`` = (fingerprint, url) of canonical rows from committed
+    snapshots; they take precedence, so resumed / incremental runs mark
+    cross-run duplicates too."""
+    grp = (pairs.select("fingerprint", "url")
            .groupBy("fingerprint")
            .agg(F.min("url").alias("new_min"), F.count("*").alias("cnt")))
     if prior is None:
@@ -146,18 +135,89 @@ def exact_dedup_mark(staged: DataFrame,
         grp = grp.join(
             prior.groupBy("fingerprint").agg(F.min("url").alias("prior_url")),
             "fingerprint", "left")
-    keepers = (grp
-               .filter((F.col("cnt") > 1) | F.col("prior_url").isNotNull())
-               .select("fingerprint",
-                       F.coalesce("prior_url", "new_min").alias("keep_url")))
+    return (grp
+            .filter((F.col("cnt") > 1) | F.col("prior_url").isNotNull())
+            .select("fingerprint",
+                    F.coalesce("prior_url", "new_min").alias("keep_url")))
+
+
+def exact_dedup_mark(staged: DataFrame,
+                     prior: DataFrame | None = None,
+                     keepers: DataFrame | None = None,
+                     keeper_broadcast_rows: int = 5_000_000) -> DataFrame:
+    """In-job exact dedup — MARK, don't drop: every url still commits (so
+    resume converges to zero pending); non-canonical copies carry
+    ``duplicate_of`` = the canonical url for their fingerprint. Consumers
+    filter ``duplicate_of IS NULL``. Dropping rows instead would leave the
+    dropped urls pending forever and re-commit them as duplicates on the
+    next resume.
+
+    Join strategy is GATED, not forced: the keeper map is dup-fraction-
+    sized, which is usually broadcastable but NOT always — re-crawl-heavy
+    corpora run 20-30%+ exact dups, and a forced broadcast of a
+    billion-row map kills the driver. The map is counted first (a
+    column-pruned pass over (fingerprint, url) hashes only); at or below
+    ``keeper_broadcast_rows`` it broadcasts (and no Exchange carries the
+    payload — ``test_dedup_mark_shuffles_no_payload``), above it the hint
+    is omitted and AQE plans a shuffled join (0 = never broadcast, skips
+    the count). Pass a precomputed ``keepers`` to reuse a global map while
+    marking a subset of files (the single-write commit path below).
+    """
+    if keepers is None:
+        keepers = keeper_map(staged, prior)
+    if keeper_broadcast_rows > 0 and \
+            keepers.count() <= keeper_broadcast_rows:
+        keepers = F.broadcast(keepers)
     return (staged.drop("duplicate_of")
-            .join(F.broadcast(keepers), "fingerprint", "left")
+            .join(keepers, "fingerprint", "left")
             .withColumn(
                 "duplicate_of",
                 F.when(F.col("keep_url").isNotNull()
                        & (F.col("url") != F.col("keep_url")),
                        F.col("keep_url")).cast("string"))
             .select(*staged.columns))
+
+
+def mark_staged_duplicates(spark: SparkSession, out: IceboxTable,
+                           files: list, prior: DataFrame | None
+                           ) -> tuple[list, int, int]:
+    """Single-write dedup commit: annotate duplicates by REWRITING ONLY
+    the staged files that contain a to-be-marked row (Iceberg
+    MERGE-on-read rewrites only files with matched keys; the emulation
+    does the same at file granularity). The previous shape — stage full
+    output, read back, mark, re-stage full output — paid 2× the job's
+    entire write I/O to annotate a few-% minority of rows; here bytes
+    written ≈ 1× + dup-fraction.
+
+    Returns (files_for_commit, n_marked_rows, n_files_rewritten). All
+    planning shuffles carry (fingerprint, url, file) triples only; the
+    payload moves once, inside the rewrite of affected files.
+    """
+    from urllib.parse import unquote, urlparse
+
+    staged = spark.read.parquet(*files)
+    keepers = keeper_map(staged, prior)
+    hits = (staged.select("fingerprint", "url")
+            .withColumn("_file", F.input_file_name())
+            .join(keepers, "fingerprint")
+            .filter(F.col("url") != F.col("keep_url"))
+            .groupBy("_file").agg(F.count("*").alias("n"))
+            .collect())
+    if not hits:
+        return files, 0, 0
+    n_marked = sum(r["n"] for r in hits)
+    # input_file_name yields a URI (file:/... or s3a://...); staged file
+    # names (part-<n>-<uuid>) are unique within the staging dir, so match
+    # on the decoded basename.
+    aff_names = {os.path.basename(unquote(urlparse(r["_file"]).path))
+                 for r in hits}
+    affected = [f for f in files if os.path.basename(f) in aff_names]
+    untouched = [f for f in files if os.path.basename(f) not in aff_names]
+    marked = exact_dedup_mark(spark.read.parquet(*affected), keepers=keepers)
+    marked_files, _ = out.stage(marked)
+    for f in affected:                     # superseded, never committed
+        os.remove(f)
+    return untouched + marked_files, n_marked, len(affected)
 
 
 def run_extract_job(
@@ -255,6 +315,7 @@ def run_extract_job(
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
     metrics = obs.get
 
+    n_marked = files_rewritten = 0
     if dedup == "exact":
         prior = None
         if out.exists():
@@ -263,12 +324,8 @@ def run_extract_job(
                 prior = (committed
                          .filter(F.col("duplicate_of").isNull())
                          .select("fingerprint", "url"))
-        marked = exact_dedup_mark(spark.read.parquet(*files), prior)
-        marked_files, n = out.stage(marked)
-        import shutil
-        shutil.rmtree(os.path.dirname(files[0]),  # superseded, uncommitted
-                      ignore_errors=True)
-        files = marked_files
+        files, n_marked, files_rewritten = mark_staged_duplicates(
+            spark, out, files, prior)
 
     snap = out.commit_staged(files, n, job_token=job_token)
     staged = spark.read.parquet(*files)
@@ -285,6 +342,6 @@ def run_extract_job(
                "metrics": metrics,
                "estimated_cost_usd": round(est_cost, 6)}
     if dedup == "exact":
-        summary["dedup_marked"] = staged.filter(
-            F.col("duplicate_of").isNotNull()).count()
+        summary["dedup_marked"] = n_marked
+        summary["dedup_files_rewritten"] = files_rewritten
     return summary

@@ -69,13 +69,63 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked framing (hex size line CRLF data
+    CRLF, terminated by a 0-size chunk). Best-effort: malformed or
+    truncated framing yields the chunks decoded so far."""
+    out = []
+    i = 0
+    while True:
+        j = body.find(_CRLF, i)
+        if j < 0:
+            break
+        try:
+            size = int(body[i:j].split(b";")[0].strip() or b"0", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[j + 2:j + 2 + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break                          # truncated record tail
+        i = j + 2 + size + 2               # skip the chunk's CRLF
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Strip the HTTP response envelope a 'response' record carries."""
-    if payload[:5] in (b"HTTP/",):
-        sep = payload.find(b"\r\n\r\n")
-        if sep >= 0:
-            return payload[sep + 4:]
-    return payload
+    """Strip the HTTP response envelope a 'response' record carries, then
+    undo the wire encodings real crawls use: Transfer-Encoding: chunked
+    keeps hex framing interleaved in the HTML, and Content-Encoding:
+    gzip/deflate bodies are compressed — without this, decode(errors=
+    'replace') silently yields garbage text. Decompression is
+    best-effort: a corrupt body stays raw (the extractor's validation
+    gate rejects it downstream) rather than killing the task."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    elif ce == "deflate":
+        import zlib
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:                           # some servers send RAW deflate
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return body
 
 
 def _records_to_rows(content: bytes):

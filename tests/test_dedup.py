@@ -178,3 +178,43 @@ def test_connected_components_empty(spark):
     from ocr_devnagari_spark.operators.dedup import connected_components
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_reliable_checkpoints(spark, tmp_path):
+    """With a checkpoint dir configured the rounds use RELIABLE
+    checkpoints (auto-detected): state lands on the shared store, so an
+    executor loss mid-iteration is survivable at cluster scale — and the
+    labels are identical to the localCheckpoint path."""
+    from ocr_devnagari_spark.operators.dedup import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (4, 10)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r.id: r.component
+            for r in connected_components(pairs, reliable=False).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = {r.id: r.component
+               for r in connected_components(pairs).collect()}
+        assert got == want == {i: 0 for i in (0, 1, 2, 3, 4, 10, 11)}
+        import glob
+        assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), \
+            "no reliable checkpoint data written"
+    finally:
+        # reset for sibling tests (Scala setter/object names need getattr)
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
+def test_connected_components_reliable_requires_dir(spark):
+    import pytest
+
+    from ocr_devnagari_spark.operators.dedup import connected_components
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir leaked from another test")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(pairs, reliable=True)

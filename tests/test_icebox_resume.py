@@ -206,6 +206,93 @@ def test_dedup_mark_shuffles_no_payload(spark, tmp_path):
             assert "text#" not in block, f"payload in shuffle:\n{block}"
 
 
+def test_dedup_mark_large_keeper_map_not_broadcast(spark, tmp_path):
+    """Above the keeper-broadcast gate the join must plan WITHOUT a
+    broadcast of the keeper map (a forced broadcast of a billion-row map
+    OOMs the driver on re-crawl-heavy corpora) — and produce identical
+    marks either way."""
+    from ocr_devnagari_spark.plans.pipeline import exact_dedup_mark
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "x" * 50, f"fp{i % 7}") for i in range(40)],
+        "url string, text string, fingerprint string",
+    ).withColumn("duplicate_of", F.lit(None).cast("string"))
+    staged_dir = str(tmp_path / "staged")
+    df.write.parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
+
+    # keeper_broadcast_rows=0 removes the hint; with auto-broadcast off
+    # (emulating a keeper map too big for the thresholds) the join MUST
+    # plan shuffled — the old forced F.broadcast() ignored both knobs
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                             None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        shuffled = exact_dedup_mark(staged, keeper_broadcast_rows=0)
+        got = {(r.url, r.duplicate_of) for r in shuffled.collect()}
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                           old_aqe)
+    broadcast = exact_dedup_mark(staged)      # default gate: broadcasts
+    want = {(r.url, r.duplicate_of) for r in broadcast.collect()}
+    assert got == want
+    assert sum(1 for _, d in want if d is not None) == 40 - 7
+
+
+def test_dedup_commit_rewrites_only_affected_files(spark, tmp_path):
+    """Single-write dedup commit: only staged files containing a
+    to-be-marked row are rewritten; the rest are referenced unchanged
+    (bytes written ≈ 1× + dup-fraction, not 2×)."""
+    import os
+
+    from ocr_devnagari_spark.plans.pipeline import mark_staged_duplicates
+    from ocr_devnagari_spark.sources.icebox import IceboxTable
+
+    out = IceboxTable(str(tmp_path / "tbl"))
+    # 4 staged files; duplicates confined to files 0 and 2 (fingerprint
+    # shared within the file), files 1 and 3 are all-unique
+    def rows(fid):
+        return [(f"u{fid}-{i}", "t" * 30,
+                 f"dupfp{fid}" if fid in (0, 2) and i < 2 else f"fp{fid}-{i}",
+                 None) for i in range(5)]
+    schema = "url string, text string, fingerprint string, duplicate_of string"
+    files = []
+    for fid in range(4):
+        staged, _ = out.stage(spark.createDataFrame(rows(fid), schema)
+                              .coalesce(1))
+        files.extend(staged)
+    assert len(files) == 4
+
+    final, n_marked, n_rewritten = mark_staged_duplicates(
+        spark, out, files, prior=None)
+    assert n_marked == 2 and n_rewritten == 2
+    # the two clean files survive by reference — same physical paths —
+    # and contain exactly the all-unique url groups (u1-*, u3-*)
+    survivors = set(files) & set(final)
+    assert len(survivors) == 2
+    prefixes = {r.url.split("-")[0]
+                for r in spark.read.parquet(*survivors).collect()}
+    assert prefixes == {"u1", "u3"}
+    # the two affected originals are gone from disk and from the commit
+    gone = set(files) - set(final)
+    assert len(gone) == 2 and all(not os.path.exists(f) for f in gone)
+    # content: every url still present exactly once, dups marked
+    got = spark.read.parquet(*final)
+    assert got.count() == 20
+    assert got.filter(F.col("duplicate_of").isNotNull()).count() == 2
+    assert got.filter((F.col("fingerprint") == "dupfp0")
+                      & F.col("duplicate_of").isNull()).count() == 1
+
+
 def test_compact_small_files(spark, work_root):
     t = IceboxTable(f"{work_root}/tbl")
     for i in range(6):                      # six tiny incremental commits

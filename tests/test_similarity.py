@@ -175,3 +175,46 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
     pf_line = next(line for line in plan.splitlines()
                    if "PartitionFilters" in line)
     assert "bucket" in pf_line and "dynamicpruning" not in pf_line
+
+
+def test_ann_index_build_crash_keeps_old_version(spark, emb, tmp_path,
+                                                 monkeypatch):
+    """A rebuild that dies before its pointer swap must leave queries on
+    the OLD index — data and meta can never be served from different
+    plane geometries (the wrong-bucket silent-recall failure)."""
+    import os
+
+    from ocr_devnagari_spark.operators import similarity as sim
+
+    idx = str(tmp_path / "annidx3")
+    sim.build_ann_index(emb, idx, n_planes=6, seed=42)
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    before = [(r.vec_id, r.cosine)
+              for r in sim.ann_index_topk(spark, idx, q, k=10).collect()]
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_current"):
+            raise OSError("simulated crash before pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(sim.os if hasattr(sim, "os") else os,
+                        "replace", boom)
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="simulated crash"):
+        # different geometry: served buckets would be wrong if any of
+        # this rebuild's output became visible
+        sim.build_ann_index(emb, idx, n_planes=4, seed=99)
+    monkeypatch.undo()
+
+    after = [(r.vec_id, r.cosine)
+             for r in sim.ann_index_topk(spark, idx, q, k=10).collect()]
+    assert after == before
+    # and a subsequent SUCCESSFUL rebuild swaps cleanly
+    sim.build_ann_index(emb, idx, n_planes=4, seed=99)
+    import json
+    vdir = sim._index_version_dir(idx)
+    meta = json.loads(
+        spark.read.parquet(os.path.join(vdir, "meta")).first()["meta"])
+    assert meta["n_planes"] == 4 and meta["seed"] == 99

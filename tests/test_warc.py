@@ -91,3 +91,59 @@ def test_warc_malformed_length_resyncs(spark, tmp_path):
     rows = sorted(r.url for r in
                   read_warc_pages(spark, str(tmp_path)).collect())
     assert "http://ex.com/one" in rows and "http://ex.com/two" in rows
+
+
+def test_warc_chunked_and_gzip_bodies_decoded(spark, tmp_path):
+    """Real Common Crawl 'response' records arrive Transfer-Encoding:
+    chunked and/or Content-Encoding: gzip — both must be undone before
+    the bytes reach the extractor, or the text silently decodes to
+    framing hex / compressed garbage."""
+    import gzip as _gzip
+    import io
+    import zlib
+
+    from ocr_devnagari_spark.sources.warc import read_warc_pages
+
+    html = (b"<html><body><article><p>chunked and gzipped content body "
+            b"long enough to validate cleanly for the gate</p>"
+            b"</article></body></html>")
+
+    def chunked(body, size=16):
+        out = b""
+        for i in range(0, len(body), size):
+            c = body[i:i + size]
+            out += f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    out = io.BytesIO()
+
+    def rec(url, http):
+        out.write((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                   f"Content-Length: {len(http)}\r\n\r\n").encode())
+        out.write(http + b"\r\n\r\n")
+
+    rec("http://ex.com/chunked",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + chunked(html))
+    rec("http://ex.com/gzip",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gzip.compress(html))
+    rec("http://ex.com/both",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + chunked(_gzip.compress(html)))
+    rec("http://ex.com/deflate",
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(html))
+    rec("http://ex.com/plain",
+        b"HTTP/1.1 200 OK\r\n\r\n" + html)
+    with open(tmp_path / "enc.warc", "wb") as f:
+        f.write(out.getvalue())
+
+    got = {r.url: bytes(r.html)
+           for r in read_warc_pages(spark, str(tmp_path)).collect()}
+    assert len(got) == 5
+    for url, body in got.items():
+        assert body == html, url
