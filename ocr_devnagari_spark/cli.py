@@ -9,10 +9,11 @@ library calls the tests exercise — the CLI adds no semantics of its own.
 
     python -m ocr_devnagari_spark.cli validate  --corpus DIR
     python -m ocr_devnagari_spark.cli extract   --corpus DIR --root DIR \
-        [--token T] [--limit N] [--dedup exact] [--rebalance salted] \
-        [--backend fast|naive] [--precise precise]
+        [--token T] [--limit N] [--pages "1-50,60"] [--dedup exact] \
+        [--rebalance salted] [--backend fast|naive] [--precise precise]
     python -m ocr_devnagari_spark.cli resume    --corpus DIR --root DIR
-    python -m ocr_devnagari_spark.cli bench     --corpus DIR [--cores N]
+    python -m ocr_devnagari_spark.cli bench     --corpus DIR [--cores N] \
+        [--sweep 2,8,32]
     python -m ocr_devnagari_spark.cli backends
 """
 
@@ -72,15 +73,59 @@ def cmd_extract(args) -> int:
         dedup=args.dedup,
         primary=args.backend,
         precise=args.precise,
+        pages=args.pages,
     )
     summary["metrics"] = dict(summary.get("metrics") or {})
     print(json.dumps({"command": "extract", **summary}))
     return 0
 
 
+def _bench_level(cores: int, corpus: str, reps: int) -> dict:
+    """One sweep level: fresh session at local[cores], warm the Python
+    workers, best-of-reps fused extraction."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_fused
+    from .plans.pipeline import read_pages
+    from .session import get_spark
+    spark = get_spark(f"ocrds-bench-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    pages = read_pages(spark, corpus)
+    warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(cores * 4, numPartitions=cores * 4).select(
+        warm("id")).count()
+    runs = []
+    n = 0
+    for _ in range(max(reps, 1)):
+        t0 = time.monotonic()
+        n = extract_fused(pages).count()
+        runs.append(round(time.monotonic() - t0, 3))
+    spark.stop()
+    best = min(runs)
+    return {"workers": cores, "docs": n, "runs_sec": runs,
+            "best_sec": best, "docs_per_sec": round(n / best, 1)}
+
+
 def cmd_bench(args) -> int:
-    """Throughput micro-bench on a corpus (``cli.py:731-825`` analog):
-    fused extraction wall time + docs/sec, cold and warm."""
+    """Throughput bench on a corpus (reference ``benchmark``,
+    ``cli.py:731-825``): single level by default; ``--sweep 2,8,32``
+    replicates the reference's worker-count sweep {1,5,10} and reports
+    the per-level docs/s plus the argmax ("optimal workers")."""
+    if args.sweep:
+        from pyspark.sql import SparkSession
+        if SparkSession.getActiveSession() is not None:
+            raise RuntimeError(
+                "--sweep manages its own sessions (one local[N] per "
+                "level, stopped between levels); run it in a fresh "
+                "process, not inside an active SparkSession")
+        levels = [int(x) for x in args.sweep.split(",") if x.strip()]
+        results = [_bench_level(c, args.corpus, args.reps)
+                   for c in levels]
+        best = max(results, key=lambda r: r["docs_per_sec"])
+        print(json.dumps({"command": "bench", "sweep": results,
+                          "optimal_workers": best["workers"],
+                          "optimal_docs_per_sec": best["docs_per_sec"]}))
+        return 0
     from .operators.extract import extract_fused
     from .plans.pipeline import read_pages
     spark = _spark(args)
@@ -134,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "no-op)")
         e.add_argument("--limit", type=int, default=None,
                        help="process at most N pending rows")
+        e.add_argument("--pages", default=None, metavar="SPEC",
+                       help="document-number subset, e.g. '1-50,60' or "
+                            "'all' (reference --pages; matches the last "
+                            "number in each url)")
         e.add_argument("--dedup", choices=["none", "exact"], default="none")
         e.add_argument("--rebalance", choices=["none", "salted"],
                        default="none")
@@ -148,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="extraction throughput on a corpus")
     b.add_argument("--corpus", required=True)
     b.add_argument("--reps", type=int, default=2)
+    b.add_argument("--sweep", default=None, metavar="N,M,...",
+                   help="worker-count sweep, e.g. '2,8,32' — one fresh "
+                        "local[N] session per level, reports the argmax")
     b.set_defaults(fn=cmd_bench)
 
     k = sub.add_parser("backends", help="list backends + cost metadata")

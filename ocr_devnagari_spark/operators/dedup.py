@@ -20,12 +20,8 @@ published MinHash-dedup literature (e.g. the C4/RefinedWeb pipelines).
 
 from __future__ import annotations
 
-import struct
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def tokens_col(text_col: str = "text"):
@@ -131,12 +127,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
-                        rows: int = 4) -> DataFrame:
-    """Band the signature (bands × rows = k) and bucket-join.
+                        rows: int = 4, distinct: bool = True) -> DataFrame:
+    """Band the signature (bands × rows = k) and emit candidate pairs
+    from ONE aggregation per band bucket (groupBy → collect_set →
+    in-bucket pair expansion), replacing the earlier bucket self-join —
+    one shuffle of bands × (band_hash, id) rows instead of two scans of
+    the banded table. Pair explosion inside a bucket is bounded by real
+    near-duplicate cluster size (plus rare hash collisions), not corpus
+    size; the collected id array is bounded the same way.
 
-    Shuffle volume: bands × (band_hash, id) rows. Pair explosion inside a
-    bucket is bounded by real near-duplicate cluster size (plus rare hash
-    collisions), not corpus size.
+    ``distinct=False`` skips the cross-band pair dedup (one full shuffle
+    of the pair set) — for consumers whose downstream is
+    duplicate-insensitive (``minhash_dedup``'s exact mode: the verified
+    left-semi join dedups for free).
     """
     band_hashes = F.array(*[
         F.xxhash64(F.concat_ws(
@@ -145,12 +148,13 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
         for b in range(bands)])
     banded = sig.select(
         "id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, ["band_idx", "band_hash"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    grp = (banded.groupBy("band_idx", "band_hash")
+           .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+           .filter(F.size("ids") > 1))
+    pairs = (grp.select(F.explode("ids").alias("id_a"), "ids")
+             .select("id_a", F.explode("ids").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b")))
+    return pairs.distinct() if distinct else pairs
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -174,8 +178,11 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     scale a second pass over the payload column is the dominant cost).
     """
     sig = minhash_signatures(df, id_col, text_col, k, n)
-    cand = lsh_candidate_pairs(sig, bands, rows)
+    # distinct=False: exact mode dedups via its final left-semi join;
+    # estimate mode dedups below, before the signature joins fan out
+    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False)
     if verify == "estimate":
+        cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),
                         *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
         sb = sig.select(F.col("id").alias("id_b"),
@@ -283,41 +290,43 @@ def dedup_keep_list(pairs: DataFrame, all_ids: DataFrame,
 _SIMHASH_BITS = 64
 
 
-@F.pandas_udf(T.LongType())
-def simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash (Charikar) over whitespace tokens.
-
-    Token hash = blake2b-8 (stable across runs/processes — no PYTHONHASHSEED
-    dependence). Arrow-batched; numpy bit accumulation per batch.
-    """
-    import hashlib
-
-    import numpy as np
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-        shift = np.arange(_SIMHASH_BITS, dtype=np.uint64)
-        for tok in t.split():
-            h = np.uint64(struct.unpack(
-                "<Q",
-                hashlib.blake2b(tok.encode(), digest_size=8).digest())[0])
-            bits = ((h >> shift) & np.uint64(1)).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = np.uint64(0)
-        for b in range(_SIMHASH_BITS):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
-
-
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col).alias("id"),
-                     simhash_udf(F.col(text_col)).alias("simhash"))
+    """64-bit SimHash (Charikar) over whitespace tokens — fully JVM-side.
+
+    Token hash = ``xxhash64`` (the same family the MinHash path uses);
+    the per-bit ±1 accumulation is 64 conditional sums in ONE
+    partial+final aggregation over the exploded tokens, and the sign
+    bits reassemble into the signature with shift/when arithmetic. The
+    shuffle carries 64 longs per doc (map-side combine), whole-stage
+    codegen keeps the whole thing off Python workers — the previous
+    implementation looped hashlib per token inside a pandas UDF, the one
+    remaining per-token Python hot loop in the engine.
+
+    Duplicate tokens weight the accumulation by occurrence count (the
+    standard construction); empty/whitespace-only docs yield signature 0
+    via the left join-back. ``test_simhash_matches_bit_oracle`` pins the
+    construction against an independent Python re-accumulation.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_col(text_col)).alias("tok"))
+            .filter(F.col("tok") != "")
+            .withColumn("h", F.xxhash64("tok")))
+    sums = toks.groupBy("id").agg(*[
+        F.sum(F.shiftrightunsigned(F.col("h"), i)
+              .bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)])
+    sig = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), i)) \
+                .otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    signed = sums.select("id", sig.alias("simhash"))
+    return (ids.join(signed, "id", "left")
+            .select("id", F.coalesce("simhash", F.lit(0).cast("long"))
+                    .alias("simhash")))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",

@@ -230,6 +230,7 @@ def run_extract_job(
     dedup: str = "none",
     primary: str | None = None,
     precise: str | None = None,
+    pages: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job. Returns summary counters.
 
@@ -237,6 +238,14 @@ def run_extract_job(
     of the pending work, commit it, and leave the rest for the next run —
     simulating the reference's kill-9-mid-run scenario
     (``docs/RESILIENT_OCR_PLAN.md:438-471``).
+
+    ``pages`` restricts the run to a document-number subset — the
+    reference CLI's ``--pages "1-50,60"`` flag (``utils.py:75-141`` parse,
+    wired through ``cli.py:134-251``). The number is the last digit run
+    in the url (the corpus convention: ``.../a/000000000123.html``);
+    rows whose url carries no number are excluded when a range is given.
+    The predicate is a Catalyst filter, so it composes with the resume
+    anti-join: ``--pages`` + resume converges exactly like a full run.
     """
     # Pre-flight the backend selection DRIVER-SIDE: a mistyped name must
     # fail here, not executor-side mid-stage (or worse, at the cost lookup
@@ -268,8 +277,13 @@ def run_extract_job(
                                  m["snapshot_id"]), job_token=lin_token)
         return {"snapshot_id": out.snapshot_id(), "rows": 0, "resumed": True}
 
-    pages = read_pages(spark, corpus_dir)
-    pending = pending_pages(pages, out, spark)
+    src_pages = read_pages(spark, corpus_dir)
+    if pages is not None and pages.strip().lower() != "all":
+        from ..functions.text import range_predicate
+        seq = F.regexp_extract(F.col("url"), r"(\d+)[^\d]*$", 1)
+        src_pages = src_pages.filter(
+            (seq != "") & range_predicate(seq.cast("long"), pages))
+    pending = pending_pages(src_pages, out, spark)
     if limit_pending is not None:
         pending = pending.limit(limit_pending)
     if rebalance_mode == "salted":

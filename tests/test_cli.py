@@ -100,3 +100,61 @@ def test_cli_validate_empty_corpus(spark, tmp_path, capsys):
     pq.write_table(empty, f"{d}/pages.parquet")
     rc, out = _run(capsys, ["--cores", "4", "validate", "--corpus", d])
     assert rc == 1 and out["rows"] == 0       # reported, not a traceback
+
+
+def test_cli_pages_subset_and_resume_converges(spark, tiny_corpus,
+                                               tmp_path, capsys):
+    """--pages restricts an extract run to the selected document numbers
+    (reference cli.py:134-251 page ranges), and a follow-up full run
+    still converges — the predicate composes with the resume anti-join."""
+    root = str(tmp_path / "tables")
+    rc, out = _run(capsys, ["--cores", "4", "extract",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "p1", "--pages", "0-9,20-24"])
+    assert rc == 0 and out["rows"] == 15
+
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.sources.icebox import IceboxTable
+    got = IceboxTable(f"{root}/extracted").read(spark)
+    nums = [int(r.n) for r in got.select(
+        F.regexp_extract("url", r"(\d+)[^\d]*$", 1).alias("n")).collect()]
+    assert len(nums) == 15
+    assert all(0 <= n <= 9 or 20 <= n <= 24 for n in nums)
+
+    # the same subset again → nothing pending
+    rc, out = _run(capsys, ["--cores", "4", "resume",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "p2", "--pages", "0-9,20-24"])
+    assert rc == 0 and out["rows"] == 0
+
+    # an unrestricted resume picks up exactly the remainder
+    rc, out = _run(capsys, ["--cores", "4", "resume",
+                            "--corpus", tiny_corpus, "--root", root,
+                            "--token", "p3"])
+    assert rc == 0 and out["rows"] == 45
+    assert IceboxTable(f"{root}/extracted").read(spark).count() == 60
+
+
+def test_cli_bench_sweep_subprocess(tiny_corpus):
+    """The worker-count sweep (reference benchmark cli.py:731-825) runs
+    one fresh session per level and reports the argmax; exercised in a
+    subprocess because each level stops its session."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    p = subprocess.run(
+        [sys.executable, "-m", "ocr_devnagari_spark.cli", "bench",
+         "--corpus", tiny_corpus, "--reps", "1", "--sweep", "2,4"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd="/root/repo")
+    assert p.returncode == 0, p.stderr[-2000:]
+    out = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["optimal_workers"] in (2, 4)
+    assert len(out["sweep"]) == 2
+    assert all(lv["docs"] == 60 and lv["docs_per_sec"] > 0
+               for lv in out["sweep"])

@@ -127,6 +127,49 @@ def test_simhash_near_dups(spark, docs):
     assert set(pairs) == brute
 
 
+def test_simhash_matches_bit_oracle(spark, docs):
+    """The JVM aggregation (explode → xxhash64 → 64 conditional sums →
+    sign reassembly) must agree EXACTLY with an independent Python
+    re-accumulation using the same per-token hashes."""
+    from ocr_devnagari_spark.operators.dedup import (
+        simhash_fingerprints,
+        tokens_col,
+    )
+
+    sample = docs.limit(40)
+    fps = {r.id: r.simhash
+           for r in simhash_fingerprints(sample).collect()}
+    tok_h = {r.tok: r.h for r in
+             (sample.select(F.explode(tokens_col("text")).alias("tok"))
+              .filter("tok != ''").distinct()
+              .withColumn("h", F.xxhash64("tok")).collect())}
+    checked = 0
+    for r in sample.collect():
+        acc = [0] * 64
+        for tok in r.text.split():
+            h = tok_h[tok] & 0xFFFFFFFFFFFFFFFF
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        if sig >= 1 << 63:
+            sig -= 1 << 64                  # two's-complement long
+        assert sig == fps[r.doc_id], r.doc_id
+        checked += 1
+    assert checked == 40
+
+
+def test_simhash_stays_jvm_side(spark, docs):
+    """No Python-worker node may appear in the simhash plan — the whole
+    point of the aggregation rewrite."""
+    from ocr_devnagari_spark.operators.dedup import simhash_fingerprints
+    plan = (simhash_fingerprints(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
+
+
 def test_minhash_estimate_mode(spark, docs):
     """verify='estimate' (signature-agreement Jaccard, zero document
     re-reads) must recover every exact clone at ĵ=1.0 and agree with the
