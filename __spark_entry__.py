@@ -516,6 +516,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "width", "height", "n_bytes", "phash")
     q["multimodal_features"] = multimodal_features
 
+    # ---- multimodal REAL decode (stdlib PNG codec; rows-only) ----
+    def multimodal_real_decode(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.operators.multimodal import MEDIA_SCHEMA
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def to_png(batches):
+            import pandas as pd
+
+            from ocr_devnagari_spark.codecs import encode_png
+            for pdf in batches:
+                recs = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    raw = (text or "").encode()[:64].ljust(64, b"\0")
+                    recs.append({
+                        "media_id": f"m{did}", "kind": "image",
+                        "payload": encode_png([(v,) for v in raw], 8, 8, 1),
+                        "mime": "image/png"})
+                yield pd.DataFrame(
+                    recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+        media = d.mapInPandas(to_png, MEDIA_SCHEMA)
+        return image_feature_stage(media, fake=False).select(
+            "media_id", "width", "height", "n_bytes", "phash")
+    q["multimodal_real_decode"] = multimodal_real_decode
+
     return q
 
 

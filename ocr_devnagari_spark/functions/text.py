@@ -55,7 +55,9 @@ GARBLED_RE = r"[^\p{L}\p{N}_\s]{5,}"
 
 def letter_ratio(col: Column) -> Column:
     n = F.length(col)
-    letters = F.length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    # counting matches beats regexp_replace+length: same value, no
+    # intermediate string materialized per row
+    letters = F.regexp_count(col, F.lit(r"\p{L}"))
     return F.when(n > 0, letters / n).otherwise(F.lit(0.0))
 
 
@@ -102,14 +104,43 @@ def section_count(col: Column) -> Column:
     return total
 
 
+def _gated_count(col: Column, literals: tuple, pattern: str) -> Column:
+    """``regexp_count`` behind a cheap ``contains`` pre-gate: the pattern
+    can only match when one of ``literals`` is present, and a substring
+    scan that short-circuits on first hit is far cheaper than a full
+    regex pass on the (overwhelmingly common) no-match rows. Semantics
+    are identical — the gate is implied by the pattern — so the DuckDB
+    oracles keep the plain-count formula."""
+    gate = None
+    for s in literals:
+        c = F.contains(col, F.lit(s))
+        gate = c if gate is None else gate | c
+    return (F.when(gate, F.regexp_count(col, F.lit(pattern)))
+            .otherwise(F.lit(0)))
+
+
+def bija_count(col: Column) -> Column:
+    return _gated_count(col, ("ॐ", "स्वाहा", "श्लोक"), BIJA_RE)
+
+
+def verse_count(col: Column) -> Column:
+    return _gated_count(col, ("॥",), VERSE_RE)
+
+
+def code_count(col: Column) -> Column:
+    # every CODE_RE alternative contains one of these literals
+    return _gated_count(col, ("def ", "return ", "function", ";", "class"),
+                        CODE_RE)
+
+
 def _family_cols(col: Column) -> dict:
     """Per-family presence/score columns — shared by critical_score /
     recommendation / priority so the three stay one formula."""
     n_sec = section_count(col)
     return {
-        "verse": (F.regexp_count(col, F.lit(VERSE_RE)) > 0).cast("int"),
-        "bija": (F.regexp_count(col, F.lit(BIJA_RE)) > 0).cast("int"),
-        "code": (F.regexp_count(col, F.lit(CODE_RE)) > 0).cast("int"),
+        "verse": (verse_count(col) > 0).cast("int"),
+        "bija": (bija_count(col) > 0).cast("int"),
+        "code": (code_count(col) > 0).cast("int"),
         "num": (F.regexp_count(col, F.lit(NUM_RE)) >= 6).cast("int"),
         "n_sec": n_sec,
         "sec": (n_sec > 0).cast("int"),
@@ -147,8 +178,8 @@ def contains_mantra(col: Column) -> Column:
     bija count > 0 OR numbered verses > 0 OR section count ≥ 2. Deity /
     yantra hits alone never gate — they only feed the combined score.
     CASE WHEN keeps the three scans lazy behind the Devanagari gate."""
-    hit = ((F.regexp_count(col, F.lit(BIJA_RE)) > 0)
-           | (F.regexp_count(col, F.lit(VERSE_RE)) > 0)
+    hit = ((bija_count(col) > 0)
+           | (verse_count(col) > 0)
            | (section_count(col) >= 2))
     return F.when(col.rlike(DEVA_GATE_RE), hit).otherwise(F.lit(False))
 
@@ -158,12 +189,12 @@ def critical_flag(col: Column) -> Column:
     ``contains_mantra`` rule plus the two non-Devanagari families this
     engine adds for web corpora (code blocks, numeric tables)."""
     return (contains_mantra(col)
-            | (F.regexp_count(col, F.lit(CODE_RE)) > 0)
+            | (code_count(col) > 0)
             | (F.regexp_count(col, F.lit(NUM_RE)) >= 6))
 
 
 def _high_priority(col: Column) -> Column:
-    bija_cnt = F.regexp_count(col, F.lit(BIJA_RE))
+    bija_cnt = bija_count(col)
     n_sec = section_count(col)
     return (col.rlike(DEVA_GATE_RE)
             & ((bija_cnt >= 3) | ((bija_cnt >= 1) & (n_sec >= 2))))

@@ -106,21 +106,35 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 32,
                        n: int = 3) -> DataFrame:
-    """k min-hashes per doc in ONE aggregation pass over exploded shingles.
+    """k min-hashes per doc in ONE aggregation pass over exploded
+    shingle hashes.
 
-    Each shingle's STRING is hashed once (``xxhash64(shingle)``); the
-    k-member family then rehashes the resulting long with the family index
-    (``xxhash64(h, i)`` — fixed-width numeric hashing, far cheaper than k
-    independent string hashes and safe under ANSI arithmetic). One
-    partial+final agg — map-side combine keeps the shuffle at k longs/doc.
+    Shingles never materialize as strings: each token hashes once
+    (``transform(tokens, xxhash64)``), and the n-gram hash is
+    ``xxhash64(h_i, …, h_{i+n-1})`` over the token-hash longs — building
+    10M+ three-word concat strings per 50k docs just to hash them was
+    the dominant signature cost. The k-member family then rehashes the
+    shingle long with the family index (``xxhash64(h, i)``). One
+    partial+final agg — map-side combine keeps the shuffle at k
+    longs/doc.
 
     No ``distinct`` on the shingles: ``min`` is duplicate-insensitive, so
     set semantics are free here and skipping the distinct removes a full
     shuffle of the exploded shingle table (the largest intermediate in
     the whole plan).
     """
-    sh = shingles(df, id_col, text_col, n, distinct=False).withColumn(
-        "h", F.xxhash64("shingle"))
+    toks = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"))
+    grams = F.when(
+        F.size("_th") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_th") - n),
+            lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j + 1)
+                                   for j in range(n)])),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = base.select("id", F.explode(grams).alias("h"))
     aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}")
             for i in range(k)]
     return sh.groupBy("id").agg(*aggs)
@@ -179,8 +193,15 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     """
     sig = minhash_signatures(df, id_col, text_col, k, n)
     # distinct=False: exact mode dedups via its final left-semi join;
-    # estimate mode dedups below, before the signature joins fan out
-    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False)
+    # estimate mode dedups below, before the signature joins fan out.
+    # The candidate set is MATERIALIZED (eager localCheckpoint): both
+    # verify modes consume it twice, and without truncation each consumer
+    # re-runs the whole signature aggregation — the plan's dominant
+    # stage. Candidate pairs are id-pairs bounded by real near-dup
+    # cluster volume, so the checkpointed state is tiny at any corpus
+    # size (the expensive upstream is exactly what it cuts off).
+    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False) \
+        .localCheckpoint(eager=True)
     if verify == "estimate":
         cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``.
 
 The Spark-side contract is fully real — schemas, Arrow batch shapes,
-partitioning, the ``mapInPandas`` stage signatures — while the codec calls
-themselves are stubbed (this container ships no PIL/ffmpeg): pass
-``fake=True`` for a deterministic content-hash-seeded fake decoder (used in
-tests), or ``fake=False`` to hit the clearly-marked ``NotImplementedError``
-where a real decoder (PIL / torchvision / pyav) plugs in on a cluster with
-the libs installed.
+partitioning, the ``mapInPandas`` stage signatures — and so is the codec
+for the formats the standard library covers: ``fake=False`` decodes PNG
+(zlib + scanline filters, ``codecs.decode_png``) and WAV (``wave``)
+for real dimensions / aHash / histogram / RMS features. Formats that
+genuinely need external libs (JPEG, video containers) yield NULL
+feature columns with a real ``n_bytes`` — a 100-TB job must not die on
+the first exotic payload — and the clearly-marked plug-in point is
+where PIL/torchvision/pyav slot in on a cluster that ships them.
+``fake=True`` keeps the deterministic content-hash decoder for tests
+that need stable values on arbitrary bytes.
 
 Pattern notes for 100 TB of media: payload bytes must cross into Python
 exactly once (one fused decode+featurize stage), batches must be SMALL
@@ -65,24 +69,76 @@ def _fake_decode_image(payload: bytes) -> dict:
 
 
 def image_feature_stage(media: DataFrame, fake: bool = True) -> DataFrame:
-    """decode → resize → featurize, fused into one Arrow-batched stage."""
+    """decode → resize → featurize, fused into one Arrow-batched stage.
+
+    ``fake=False`` = the REAL path: PNG payloads decode with the
+    pure-stdlib codec (``codecs.image_features`` — true width/height,
+    8×8 average-hash, grayscale histogram). Non-PNG payloads emit NULL
+    feature columns (n_bytes stays real); JPEG & friends plug in at the
+    marked point when PIL/torchvision exist on the cluster."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import UnsupportedMediaError, image_features
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/torchvision; "
-                        "plug the codec in here")
-                f = _fake_decode_image(payload)
-                recs.append(dict(media_id=mid, n_bytes=len(payload or b""),
-                                 **f))
+                n_bytes = len(payload or b"")
+                if fake:
+                    f = _fake_decode_image(payload)
+                else:
+                    try:
+                        f = image_features(bytes(payload or b""),
+                                           n_features=FEATURE_DIM)
+                    except UnsupportedMediaError:
+                        # plug-in point: PIL/torchvision decode for JPEG
+                        # etc. goes here on clusters that ship the libs
+                        f = {"width": None, "height": None,
+                             "phash": None, "features": None}
+                recs.append(dict(media_id=mid, n_bytes=n_bytes, **f))
             out = pd.DataFrame.from_records(recs)
             yield out[[c.name for c in IMAGE_FEATURES_SCHEMA.fields]]
 
     src = media.select("media_id", "payload")
     return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def audio_feature_stage(media: DataFrame) -> DataFrame:
+    """Real audio featurize: 16-bit-PCM WAV payloads decode with the
+    stdlib ``wave`` codec (``codecs.audio_features`` — channels, sample
+    rate, duration, per-segment RMS profile). Non-WAV payloads emit NULL
+    feature columns; compressed formats (mp3/ogg) plug in at the marked
+    point when ffmpeg/pyav exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codecs import UnsupportedMediaError, audio_features
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_bytes = len(payload or b"")
+                try:
+                    f = audio_features(bytes(payload or b""),
+                                       n_segments=FEATURE_DIM)
+                except UnsupportedMediaError:
+                    # plug-in point: pyav/ffmpeg decode for compressed
+                    # audio goes here
+                    f = {"n_channels": None, "sample_rate": None,
+                         "duration_ms": None, "features": None}
+                recs.append(dict(media_id=mid, n_bytes=n_bytes, **f))
+            out = pd.DataFrame.from_records(recs)
+            yield out[[c.name for c in AUDIO_FEATURES_SCHEMA.fields]]
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_stage(media: DataFrame, every_ms: int = 1000,
