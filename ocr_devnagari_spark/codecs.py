@@ -43,37 +43,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> dict:
+MAX_PIXELS = 4_000_000          # decode bound: one payload must never
+#                                 OOM a worker (PNG bombs, poster-size
+#                                 images) — featurize thumbnails, route
+#                                 oversized media to a dedicated path
+
+
+def decode_png(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     """PNG → {width, height, channels, pixels} (pixels = row-major list
-    of per-pixel tuples of 0-255 ints)."""
+    of per-pixel tuples of 0-255 ints). Any malformed input — truncated
+    chunks, corrupt zlib streams, lying headers — raises
+    ``UnsupportedMediaError``, never an internal codec exception: the
+    mapInPandas callers NULL-fallback on that one type, and a 100-TB
+    crawl always contains broken files."""
     if payload[:8] != _PNG_SIG:
         raise UnsupportedMediaError("not a PNG signature")
     pos = 8
     width = height = None
     color_type = bit_depth = None
     idat = b""
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length                       # skip CRC
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace \
-                = struct.unpack(">IIBBBBB", data)
-            if bit_depth != 8 or color_type not in _CHANNELS or interlace:
-                raise UnsupportedMediaError(
-                    f"PNG subset: depth8 gray/RGB/RGBA non-interlaced "
-                    f"(got depth={bit_depth} color={color_type})")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise UnsupportedMediaError("missing IHDR/IDAT")
-    raw = zlib.decompress(idat)
-    ch = _CHANNELS[color_type]
-    stride = width * ch
-    if len(raw) < height * (stride + 1):
+    try:
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length                   # skip CRC
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, \
+                    interlace = struct.unpack(">IIBBBBB", data)
+                if bit_depth != 8 or color_type not in _CHANNELS \
+                        or interlace:
+                    raise UnsupportedMediaError(
+                        f"PNG subset: depth8 gray/RGB/RGBA non-interlaced "
+                        f"(got depth={bit_depth} color={color_type})")
+                if width * height > max_pixels:
+                    raise UnsupportedMediaError(
+                        f"PNG {width}x{height} exceeds the "
+                        f"{max_pixels}-pixel decode bound")
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            raise UnsupportedMediaError("missing IHDR/IDAT")
+        ch = _CHANNELS[color_type]
+        stride = width * ch
+        need = height * (stride + 1)
+        # bounded inflate: a high-ratio zlib bomb must not expand past
+        # the size the (already-bounded) header promises
+        raw = zlib.decompressobj().decompress(idat, need)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, zlib.error, IndexError, OverflowError,
+            MemoryError) as e:
+        raise UnsupportedMediaError(f"malformed PNG: {e}") from e
+    if len(raw) < need:
         raise UnsupportedMediaError("truncated PNG pixel data")
     pixels: list = []
     prev = bytearray(stride)

@@ -134,6 +134,11 @@ def _index_version_dir(index_dir: str) -> str:
 
     cp = os.path.join(index_dir, "_current")
     if not os.path.exists(cp):
+        # legacy layout (pre-versioned builds): data/ + meta/ directly
+        # under index_dir — still valid, serve it rather than forcing a
+        # rebuild after upgrade
+        if os.path.isdir(os.path.join(index_dir, "data")):
+            return index_dir
         raise FileNotFoundError(f"no committed ANN index in {index_dir}")
     with open(cp) as f:
         return os.path.join(index_dir, f.read().strip())

@@ -196,7 +196,11 @@ def mark_staged_duplicates(spark: SparkSession, out: IceboxTable,
     from urllib.parse import unquote, urlparse
 
     staged = spark.read.parquet(*files)
-    keepers = keeper_map(staged, prior)
+    # materialize the keeper map once (eager localCheckpoint): it is
+    # consumed three times below (affected-file probe, broadcast-gate
+    # count, mark join), and each un-truncated consumer would re-run the
+    # full staged scan + fingerprint groupBy — the dominant planning cost
+    keepers = keeper_map(staged, prior).localCheckpoint(eager=True)
     hits = (staged.select("fingerprint", "url")
             .withColumn("_file", F.input_file_name())
             .join(keepers, "fingerprint")
@@ -280,9 +284,13 @@ def run_extract_job(
     src_pages = read_pages(spark, corpus_dir)
     if pages is not None and pages.strip().lower() != "all":
         from ..functions.text import range_predicate
-        seq = F.regexp_extract(F.col("url"), r"(\d+)[^\d]*$", 1)
+        # try_cast: under ANSI (Spark 4 default) a >19-digit url tail
+        # would make a plain cast throw and abort the run; such rows are
+        # simply outside any selectable range
+        seq = F.regexp_extract(F.col("url"), r"(\d+)[^\d]*$", 1) \
+            .try_cast("long")
         src_pages = src_pages.filter(
-            (seq != "") & range_predicate(seq.cast("long"), pages))
+            seq.isNotNull() & range_predicate(seq, pages))
     pending = pending_pages(src_pages, out, spark)
     if limit_pending is not None:
         pending = pending.limit(limit_pending)

@@ -83,8 +83,10 @@ def _dechunk(body: bytes) -> bytes:
             size = int(body[i:j].split(b";")[0].strip() or b"0", 16)
         except ValueError:
             break
-        if size == 0:
-            break
+        if size <= 0:
+            break       # 0 = terminator; negative = garbage framing —
+            #             accepting it would loop forever (find() clamps
+            #             a negative start back to 0)
         chunk = body[j + 2:j + 2 + size]
         out.append(chunk)
         if len(chunk) < size:

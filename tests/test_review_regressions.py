@@ -147,3 +147,110 @@ def test_data_class_attrs_are_not_class(spark=None):
           '<p>real content that is definitely long enough to keep</p>')
     t2, _ = fast_extract_html(h2)
     assert "advertisement junk" not in t2 and "real content" in t2
+
+
+def test_dechunk_rejects_negative_size():
+    """A negative hex chunk-size line must terminate, not loop forever
+    (find() clamps a negative resume offset back to 0)."""
+    from ocr_devnagari_spark.sources.warc import _dechunk
+    assert _dechunk(b"-444\r\n" + b"X" * 10) == b""
+    assert _dechunk(b"3\r\nabc\r\n-4\r\nzzzz\r\n0\r\n\r\n") == b"abc"
+
+
+def test_malformed_png_nulls_not_crash(spark):
+    """Truncated IHDR / corrupt IDAT / oversize header must all surface
+    as UnsupportedMediaError (→ NULL feature row), never a raw
+    struct/zlib error that kills the task."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from ocr_devnagari_spark.codecs import (
+        UnsupportedMediaError,
+        decode_png,
+        encode_png,
+    )
+    good = encode_png([(7,)] * 16, 4, 4, 1)
+    cases = {
+        "truncated_ihdr": good[:20],
+        "corrupt_idat": good[:33] + b"\x00" * (len(good) - 33),
+        "bomb_header": (b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I", 13) + b"IHDR"
+                        + struct.pack(">IIBBBBB", 100_000, 100_000,
+                                      8, 0, 0, 0, 0)
+                        + struct.pack(">I", 0)
+                        + struct.pack(">I", 5) + b"IDAT"
+                        + zlib.compress(b"\x00" * 10)[:5]
+                        + struct.pack(">I", 0)),
+    }
+    for name, payload in cases.items():
+        with _pytest.raises(UnsupportedMediaError):
+            decode_png(payload)
+
+    # end-to-end: the stage NULLs them instead of dying
+    from ocr_devnagari_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_feature_stage,
+    )
+    rows = [(k, "image", v, "image/png") for k, v in cases.items()]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = image_feature_stage(media, fake=False).collect()
+    assert len(got) == 3
+    assert all(r.width is None and r.n_bytes > 0 for r in got)
+
+
+def test_pages_filter_survives_huge_url_numbers(spark, tmp_path):
+    """--pages must not abort under ANSI when a url tail exceeds int64
+    (try_cast, not cast)."""
+    from ocr_devnagari_spark.config import ExtractConfig
+    from ocr_devnagari_spark.plans.pipeline import (
+        PAGES_SCHEMA,
+        run_extract_job,
+    )
+    html = (b"<html><body><article><p>a perfectly ordinary paragraph "
+            b"with plenty of words to validate</p></article></body></html>")
+    rows = [(f"https://h/a/{i:012d}.html", None, html, None, None)
+            for i in range(6)]
+    rows.append(("https://h/a/12345678901234567890123.html",
+                 None, html, None, None))
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.mode(
+        "overwrite").parquet(str(tmp_path / "c" / "pages.parquet"))
+    cfg = ExtractConfig(root_dir=str(tmp_path / "t"))
+    r = run_extract_job(spark, str(tmp_path / "c"), cfg, pages="0-3")
+    assert r["rows"] == 4          # huge-number url is simply not selected
+
+
+def test_ann_index_legacy_layout_still_served(spark, tmp_path):
+    """Indexes built before the versioned layout (data/ + meta/ directly
+    under index_dir) must stay readable — no forced rebuild."""
+    import json
+    import os
+    import shutil
+
+    from ocr_devnagari_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(8)])
+         for i in range(50)],
+        "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "newidx")
+    build_ann_index(emb, idx, n_planes=4, seed=3)
+    q = emb.filter("vec_id = 1").first()["embedding"]
+    want = [(r.vec_id, r.cosine)
+            for r in ann_index_topk(spark, idx, q, k=5).collect()]
+
+    # reconstruct the legacy layout from the versioned dir
+    legacy = str(tmp_path / "oldidx")
+    with open(os.path.join(idx, "_current")) as f:
+        vdir = os.path.join(idx, f.read().strip())
+    os.makedirs(legacy)
+    shutil.copytree(os.path.join(vdir, "data"),
+                    os.path.join(legacy, "data"))
+    shutil.copytree(os.path.join(vdir, "meta"),
+                    os.path.join(legacy, "meta"))
+    got = [(r.vec_id, r.cosine)
+           for r in ann_index_topk(spark, legacy, q, k=5).collect()]
+    assert got == want and len(got) == 5
