@@ -116,6 +116,36 @@ _DUPFUL_SQL = ("SELECT doc_id, text FROM documents UNION ALL "
                "WHERE doc_id % 97 = 0")
 
 
+def _messy_url() -> F.Column:
+    """Deterministic messy URLs over doc_id — every canonicalization rule
+    (case, default ports, tracking params, param order, fragments,
+    userinfo, non-URL passthrough) has signal on the driver corpus."""
+    sid = F.col("doc_id").cast("string")
+    return (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("HTTP://WWW.Example.COM:80/a/"), sid,
+                            F.lit("?utm_source=x&b=2&a=1#frag")))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("https://News.site.org:443/p/"), sid,
+                           F.lit("/")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("https://user@Sub.Example.com/x/"), sid))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.concat(F.lit("http://example.com:8080/y?z=1&gclid="),
+                           sid, F.lit("&y=2")))
+            .otherwise(F.concat(F.lit("not a url "), sid)))
+
+_MESSY_URL_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
+    "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
+    "WHEN doc_id % 5 = 1 THEN 'https://News.site.org:443/p/' || "
+    "CAST(doc_id AS VARCHAR) || '/' "
+    "WHEN doc_id % 5 = 2 THEN 'https://user@Sub.Example.com/x/' || "
+    "CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 3 THEN 'http://example.com:8080/y?z=1&gclid=' || "
+    "CAST(doc_id AS VARCHAR) || '&y=2' "
+    "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END")
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -310,6 +340,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         bpe_ish_count(F.col("text")).alias("bpe_tokens"))
     q["token_counts"] = token_counts
 
+    # ---- URL canonicalization (beyond-ref: dedup-by-url at crawl scale)
+    def url_canonicalize(spark, sf_dir):
+        from ocr_devnagari_spark.functions.url import canonicalize_url
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id",
+                        canonicalize_url(_messy_url()).alias("canonical"))
+    q["url_canonicalize"] = url_canonicalize
+
+    def url_domain_stats(spark, sf_dir):
+        from ocr_devnagari_spark.functions.url import registrable_domain
+        d = _t(spark, sf_dir, "documents")
+        return (d.select(registrable_domain(_messy_url()).alias("domain"))
+                .groupBy("domain").agg(F.count("*").alias("n_urls")))
+    q["url_domain_stats"] = url_domain_stats
+
     # ---- dedup: exact groups over planted clones ----
     def dedup_exact(spark, sf_dir):
         return exact_dedup_groups(_dupful_docs(spark, sf_dir))
@@ -348,6 +393,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_dedup(_dupful_docs(spark, sf_dir), threshold=0.8) \
             .select("id_a", "id_b")
     q["dedup_minhash"] = dedup_minhash
+
+    # ---- dedup: winnowed fingerprint overlap (rows-only; the pytest
+    #      oracle re-winnows in Python over the same gram hashes) ----
+    def dedup_winnow(spark, sf_dir):
+        from ocr_devnagari_spark.operators.dedup import winnow_similar_pairs
+        # one source slice (the dedup_jaccard precedent): the char-gram
+        # volume is ~30× a token-shingle pass, so the driver-gate entry
+        # demonstrates the operator without dominating the sweep budget
+        d = (_t(spark, sf_dir, "documents")
+             .filter(F.col("source") == "src0").select("doc_id", "text"))
+        clones = (d.filter(F.col("doc_id") % 97 == 0)
+                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text"))
+        return (winnow_similar_pairs(d.unionByName(clones), k=16,
+                                     window=8, min_shared=10)
+                .select("id_a", "id_b", "shared"))
+    q["dedup_winnow"] = dedup_winnow
 
     # ---- dedup: SimHash fingerprints (rows-only) ----
     def dedup_simhash(spark, sf_dir):
@@ -685,6 +747,43 @@ def _quality_expr(c: str) -> str:
             f"+ 0.15 * (1.0 - least(1.0, {punct} * 5.0)), 6)")
 
 
+from ocr_devnagari_spark.functions.url import (  # noqa: E402
+    AUTHORITY_RE as _U_AUTH,
+    PATH_RE as _U_PATH,
+    QUERY_RE as _U_QUERY,
+    SCHEME_RE as _U_SCHEME,
+    TRACKING_PARAM_RE as _U_TRACK,
+)
+
+
+def _url_host_sql(u: str) -> str:
+    auth = f"regexp_extract({u}, '{_sq(_U_AUTH)}', 1)"
+    no_user = f"regexp_replace({auth}, '^[^@]*@', '')"
+    return f"lower(regexp_replace({no_user}, ':\\d*$', ''))"
+
+
+def _url_canon_sql(u: str) -> str:
+    """DuckDB mirror of functions.url.canonicalize_url, generated from
+    the same regex constants."""
+    scheme = f"lower(regexp_extract({u}, '{_sq(_U_SCHEME)}', 1))"
+    host = _url_host_sql(u)
+    auth = f"regexp_extract({u}, '{_sq(_U_AUTH)}', 1)"
+    port = f"regexp_extract({auth}, ':(\\d+)$', 1)"
+    keep_port = (f"({port} != '' AND NOT (({scheme} = 'http' AND {port} = "
+                 f"'80') OR ({scheme} = 'https' AND {port} = '443')))")
+    rawpath = f"regexp_extract({u}, '{_sq(_U_PATH)}', 1)"
+    path = f"CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END"
+    qparts = (f"list_filter(string_split(regexp_extract({u}, "
+              f"'{_sq(_U_QUERY)}', 1), '&'), "
+              f"p -> p != '' AND NOT regexp_matches(p, '{_sq(_U_TRACK)}'))")
+    query = f"array_to_string(list_sort({qparts}), '&')"
+    canon = (f"{scheme} || '://' || {host} || "
+             f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || "
+             f"{path} || "
+             f"(CASE WHEN {query} != '' THEN '?' || {query} ELSE '' END)")
+    return f"CASE WHEN {scheme} != '' THEN {canon} ELSE {u} END"
+
+
 _JACCARD_SQL = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
 toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
@@ -811,6 +910,15 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '\\S+')) AS ws_tokens, "
             f"len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS bpe_tokens "
             "FROM documents"),
+        "url_canonicalize": (
+            f"SELECT doc_id, {_url_canon_sql('u')} AS canonical FROM "
+            f"(SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents)"),
+        "url_domain_stats": (
+            f"SELECT regexp_extract({_url_host_sql('u')}, "
+            "'([^.]+\\.[^.]+)$', 1) AS domain, "
+            "count(*) AS n_urls FROM "
+            f"(SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents) "
+            "GROUP BY 1"),
         "dedup_exact": (
             f"SELECT md5(text) AS fingerprint, count(*) AS n_docs, "
             f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "

@@ -374,3 +374,68 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                         F.col("b.simhash"))).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, public)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """(id, fingerprint) — winnowed char-k-gram fingerprints, all JVM.
+
+    The classic local-fingerprinting guarantee: any shared substring of
+    length ≥ k + window − 1 between two documents yields at least one
+    SHARED selected fingerprint, while only ~2/(window+1) of gram hashes
+    are kept — robust partial-overlap detection (quotes, boilerplate,
+    plagiarized spans) that whole-document hashes miss and MinHash only
+    approximates globally.
+
+    Shape: normalize (lowercase, collapse whitespace) → char k-gram
+    hashes via ``transform`` + ``xxhash64`` (no gram strings leave the
+    row) → per-window minima via ``transform``/``slice``/``array_min``
+    → ``array_distinct`` → explode. Shuffle-free; output is (id, long)
+    pairs. Docs shorter than k get no fingerprints; docs with fewer than
+    ``window`` grams keep the single global min (the paper's boundary
+    rule).
+    """
+    t = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    n = F.length(t)
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.xxhash64(F.substring(t, i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col).alias("id"), grams.alias("_g"))
+    fps = (F.when(
+        F.size("_g") >= window,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("_g") - window),
+            lambda j: F.array_min(F.slice("_g", j + 1, window)))))
+        .when(F.size("_g") > 0, F.array(F.array_min("_g")))
+        .otherwise(F.array().cast("array<bigint>")))
+    return base.select("id", F.explode(fps).alias("fingerprint"))
+
+
+def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8,
+                         window: int = 4, min_shared: int = 2,
+                         max_df: int | None = 10_000) -> DataFrame:
+    """(id_a, id_b, shared) — pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints, via the inverted-index self-join (the same bucketed
+    never-all-pairs shape as the other dedup joins). ``max_df`` drops
+    fingerprints shared by more than that many docs — boilerplate grams
+    are the stop-shingle skew bomb here too."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window).distinct()
+    if max_df is not None:
+        hot = (fp.groupBy("fingerprint").count()
+               .filter(F.col("count") > max_df).select("fingerprint"))
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, "fingerprint")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

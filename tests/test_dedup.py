@@ -261,3 +261,57 @@ def test_connected_components_reliable_requires_dir(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="setCheckpointDir"):
         connected_components(pairs, reliable=True)
+
+
+def test_winnow_fingerprints_match_python_oracle(spark, docs):
+    """Spark winnowing ≡ an independent Python winnower over the same
+    per-gram hashes (fetched from Spark's xxhash64, so the comparison
+    pins the window/boundary logic, not the hash function)."""
+    from ocr_devnagari_spark.operators.dedup import winnow_fingerprints
+
+    K, W = 8, 4
+    sample = docs.limit(25)
+    got: dict = {}
+    for r in winnow_fingerprints(sample, k=K, window=W).collect():
+        got.setdefault(r.id, set()).add(r.fingerprint)
+
+    rows = sample.collect()
+    grams = set()
+    norm = {}
+    for r in rows:
+        t = " ".join(r.text.strip().split()).lower()
+        norm[r.doc_id] = t
+        grams.update(t[i:i + K] for i in range(len(t) - K + 1))
+    gdf = spark.createDataFrame([(g,) for g in grams], "g string")
+    h = {r.g: r.h for r in gdf.select(
+        "g", F.xxhash64("g").alias("h")).collect()}
+
+    for r in rows:
+        t = norm[r.doc_id]
+        hs = [h[t[i:i + K]] for i in range(len(t) - K + 1)]
+        if not hs:
+            want: set = set()
+        elif len(hs) < W:
+            want = {min(hs)}
+        else:
+            want = {min(hs[j:j + W]) for j in range(len(hs) - W + 1)}
+        assert got.get(r.doc_id, set()) == want, r.doc_id
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """Documents sharing a substring of length ≥ k + window − 1 MUST
+    share a fingerprint (the winnowing paper's core guarantee), and
+    unrelated documents here share none."""
+    from ocr_devnagari_spark.operators.dedup import winnow_similar_pairs
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "completely unrelated opening words then " + span),
+        (2, span + " with a different ending altogether here"),
+        (3, "nothing in common with either of the others at all xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.shared
+             for r in winnow_similar_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,72 @@
+"""URL canonicalization — rule-by-rule pins plus the Spark↔DuckDB
+oracle agreement for the driver pair."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.functions.url import (
+    canonicalize_url,
+    registrable_domain,
+    url_host,
+)
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://WWW.Example.COM:80/a/1?utm_source=x&b=2&a=1#frag",
+     "http://www.example.com/a/1?a=1&b=2"),
+    ("https://News.site.org:443/p/", "https://news.site.org/p/"),
+    ("https://user@Sub.Example.com/x", "https://sub.example.com/x"),
+    ("http://example.com:8080/y?z=1&gclid=abc&y=2",
+     "http://example.com:8080/y?y=2&z=1"),
+    ("https://a.b", "https://a.b/"),                 # empty path → /
+    ("https://a.b/?utm_campaign=c", "https://a.b/"),  # all params tracked
+    ("not a url 7", "not a url 7"),                   # passthrough
+]
+
+
+def test_canonicalize_rules(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               "i int, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonical_collapses_trivial_variants(spark):
+    variants = ["http://A.example.com/p?b=2&a=1",
+                "HTTP://a.EXAMPLE.com:80/p?a=1&b=2",
+                "http://a.example.com/p?a=1&utm_medium=m&b=2#x"]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    n = df.select(canonicalize_url(F.col("u")).alias("c")) \
+        .distinct().count()
+    assert n == 1
+
+
+def test_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://user@A.B.Example.COM:8443/x",)], "u string")
+    r = df.select(url_host(F.col("u")).alias("h"),
+                  registrable_domain(F.col("u")).alias("d")).first()
+    assert r.h == "a.b.example.com"
+    assert r.d == "example.com"
+
+
+@pytest.mark.parametrize("name", ["url_canonicalize", "url_domain_stats"])
+def test_url_oracle_agreement(spark, name):
+    """Spark result ≡ the generated DuckDB oracle at sf0.01 (value-level,
+    the driver gate's comparison)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    got = sorted(tuple(r) for r in
+                 em.queries()[name](spark, "/root/testdata/sf0.01")
+                 .collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/documents.parquet')")
+    want = sorted(tuple(r) for r in con.sql(em.oracle_sql()[name])
+                  .fetchall())
+    assert got == want
