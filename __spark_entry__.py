@@ -604,6 +604,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "width", "height", "n_bytes", "phash")
     q["multimodal_real_decode"] = multimodal_real_decode
 
+    # ---- multimodal REAL audio decode (stdlib wave codec; rows-only) --
+    def multimodal_audio_decode(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_feature_stage,
+        )
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+
+        def to_wav(batches):
+            import io
+            import math
+            import struct as st
+            import wave
+
+            import pandas as pd
+            for pdf in batches:
+                recs = []
+                for did in pdf["doc_id"]:
+                    freq = 220 + int(did) % 440
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(b"".join(
+                            st.pack("<h", int(12000 * math.sin(
+                                2 * math.pi * freq * i / 8000)))
+                            for i in range(800)))
+                    recs.append({"media_id": f"a{did}", "kind": "audio",
+                                 "payload": buf.getvalue(),
+                                 "mime": "audio/wav"})
+                yield pd.DataFrame(
+                    recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+        media = d.mapInPandas(to_wav, MEDIA_SCHEMA)
+        return audio_feature_stage(media).select(
+            "media_id", "n_channels", "sample_rate", "duration_ms",
+            "n_bytes")
+    q["multimodal_audio_decode"] = multimodal_audio_decode
+
     return q
 
 
