@@ -103,10 +103,15 @@ _SPIKED_SQL = ("CASE WHEN doc_id % 5 = 0 THEN text || ' ॥ ' || "
                "ELSE text END")
 
 
-def _dupful_docs(spark, sf_dir) -> DataFrame:
+def _dupful_docs(spark, sf_dir, source: str | None = None) -> DataFrame:
     """documents ∪ planted clones (doc_id%97==0, shifted ids) — gives the
-    dedup operators real duplicate groups on the driver corpus."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup operators real duplicate groups on the driver corpus.
+    ``source`` optionally restricts to one source slice BEFORE planting
+    (the cheaper input the char-gram dedup query uses)."""
+    d = _t(spark, sf_dir, "documents")
+    if source is not None:
+        d = d.filter(F.col("source") == source)
+    d = d.select("doc_id", "text")
     clones = (d.filter(F.col("doc_id") % 97 == 0)
               .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     return d.unionByName(clones)
@@ -401,13 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one source slice (the dedup_jaccard precedent): the char-gram
         # volume is ~30× a token-shingle pass, so the driver-gate entry
         # demonstrates the operator without dominating the sweep budget
-        d = (_t(spark, sf_dir, "documents")
-             .filter(F.col("source") == "src0").select("doc_id", "text"))
-        clones = (d.filter(F.col("doc_id") % 97 == 0)
-                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
-                          "text"))
-        return (winnow_similar_pairs(d.unionByName(clones), k=16,
-                                     window=8, min_shared=10)
+        return (winnow_similar_pairs(
+                    _dupful_docs(spark, sf_dir, source="src0"),
+                    k=16, window=8, min_shared=10)
                 .select("id_a", "id_b", "shared"))
     q["dedup_winnow"] = dedup_winnow
 

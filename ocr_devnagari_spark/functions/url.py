@@ -15,8 +15,9 @@ for real-world http(s) URLs):
 - default ports dropped (``:80`` for http, ``:443`` for https);
 - empty path → ``/``;
 - fragment dropped;
-- tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``,
-  ``mc_eid`` — the public click-id set);
+- tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``,
+  ``mc_eid`` — unambiguous click-id params only; a generic name like
+  ``ref`` is content-bearing on many sites and is kept);
 - remaining query params sorted (byte order) so param order never splits
   a dedup group.
 
@@ -35,8 +36,10 @@ from pyspark.sql import functions as F
 SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
 PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
-QUERY_RE = r"\?([^#]*)"
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_eid)(=|$)"
+# query = after the FIRST '?' that precedes any '#': a '?' inside the
+# fragment (SPA routes like '#/search?q=x') is fragment text, not query
+QUERY_RE = r"^[^#?]*\?([^#]*)"
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
 
 def url_scheme(col: Column) -> Column:

@@ -426,8 +426,17 @@ def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
     fingerprints, via the inverted-index self-join (the same bucketed
     never-all-pairs shape as the other dedup joins). ``max_df`` drops
     fingerprints shared by more than that many docs — boilerplate grams
-    are the stop-shingle skew bomb here too."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window).distinct()
+    are the stop-shingle skew bomb here too.
+
+    The fingerprint table is consumed up to three times (max_df count +
+    both self-join sides) and its char-gram lineage is ~30× a
+    token-shingle pass, so it is materialized once (eager
+    localCheckpoint; fingerprints are ~2/(window+1) of gram volume — at
+    extreme scale write them to a table instead, the ANN-index pattern).
+    No ``.distinct()``: ``winnow_fingerprints`` is already per-doc
+    distinct by construction."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window) \
+        .localCheckpoint(eager=True)
     if max_df is not None:
         hot = (fp.groupBy("fingerprint").count()
                .filter(F.col("count") > max_df).select("fingerprint"))

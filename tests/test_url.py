@@ -23,6 +23,12 @@ CASES = [
     ("https://a.b", "https://a.b/"),                 # empty path → /
     ("https://a.b/?utm_campaign=c", "https://a.b/"),  # all params tracked
     ("not a url 7", "not a url 7"),                   # passthrough
+    # a '?' INSIDE the fragment is fragment text, not a query (SPA
+    # routes): both fragment and its pseudo-query must drop
+    ("https://app.example.com/#/search?q=x", "https://app.example.com/"),
+    # generic 'ref' is content-bearing — kept, unlike click ids
+    ("https://x.example.com/p?ref=main&fbclid=z",
+     "https://x.example.com/p?ref=main"),
 ]
 
 
