@@ -448,3 +448,41 @@ def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
                      F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def winnow_containment(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 8,
+                       window: int = 4, threshold: float = 0.5,
+                       max_df: int | None = 10_000) -> DataFrame:
+    """(id_a, id_b, containment_a, containment_b) — ASYMMETRIC overlap:
+    ``containment_x`` = shared fingerprints / |fingerprints(x)| (the
+    MOSS-style measure over winnowed fingerprints). Symmetric Jaccard
+    misses a short document wholly quoted inside a long one (the union
+    dwarfs the intersection); containment of the short side reads ~1.0
+    there — exactly the boilerplate/quotation/subset-dup case a training
+    pipeline wants to catch. Keeps pairs where EITHER side's containment
+    ≥ ``threshold``; same inverted-index join shape and ``max_df`` skew
+    guard as ``winnow_similar_pairs``."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window) \
+        .localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (fp.groupBy("fingerprint").count()
+               .filter(F.col("count") > max_df).select("fingerprint"))
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (a.join(b, "fingerprint")
+              .filter(F.col("a.id") < F.col("b.id"))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment_a",
+                        F.round(F.col("shared") / F.col("na"), 6))
+            .withColumn("containment_b",
+                        F.round(F.col("shared") / F.col("nb"), 6))
+            .filter(F.greatest("containment_a", "containment_b")
+                    >= threshold)
+            .select("id_a", "id_b", "containment_a", "containment_b"))

@@ -315,3 +315,27 @@ def test_winnow_shared_span_guarantee(spark):
              for r in winnow_similar_pairs(df, min_shared=1).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_containment_finds_subset_doc(spark):
+    """A short document wholly contained in a long one: Jaccard is low
+    (union dwarfs intersection) but the short side's containment reads
+    ~1.0 — the asymmetric measure is the point of the operator."""
+    from ocr_devnagari_spark.operators.dedup import winnow_containment
+
+    import random
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(4000)}" for _ in range(600)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[200:260])          # contiguous 10% chunk
+    other = " ".join(f"q{rng.randrange(4000)}" for _ in range(120))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): (r.containment_a, r.containment_b)
+            for r in winnow_containment(df, threshold=0.8).collect()}
+    assert (1, 2) in rows
+    ca, cb = rows[(1, 2)]
+    assert cb >= 0.9            # short doc ~fully contained in long
+    assert ca <= 0.3            # long doc barely contained in short
+    assert all(3 not in pair for pair in rows)
