@@ -1,6 +1,6 @@
 """Deduplication operators for a web-scale training-data pipeline.
 
-Four escalating strategies, all DataFrame-native:
+Escalating strategies, all DataFrame-native:
 
 - **exact**        — md5-fingerprint groupBy (one shuffle of (hash, id));
 - **n-gram Jaccard** — token-shingle inverted index self-join (exact
@@ -10,7 +10,12 @@ Four escalating strategies, all DataFrame-native:
   (band_hash, id) pairs, never documents);
 - **SimHash**      — 64-bit sign-of-weighted-sum fingerprint; near-dup =
   Hamming ≤ d, found via the 4×16-bit pigeonhole chunk join (hamming ≤ 3
-  ⇒ at least one chunk identical), so no O(n²) pass.
+  ⇒ at least one chunk identical), so no O(n²) pass;
+- **winnowing**    — char-k-gram window-min fingerprints (Schleimer et
+  al. 2003): shared-span guarantee for partial overlap, plus the
+  asymmetric containment measure for subset duplicates;
+- **connected components** — transitive-closure canonicalization over
+  any of the above pair graphs.
 
 Scale notes: every join here moves only hashes and ids. Stop-shingles (a
 shingle appearing in a huge fraction of docs) are the skew bomb in the
