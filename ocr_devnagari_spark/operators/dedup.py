@@ -25,8 +25,29 @@ published MinHash-dedup literature (e.g. the C4/RefinedWeb pipelines).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Truncate lineage by checkpointing, choosing checkpoint RELIABILITY
+    the way ``connected_components`` does: when ``sc.setCheckpointDir`` is
+    configured the blocks go to the shared store (``checkpoint``), so an
+    executor loss recomputes nothing and kills nothing; otherwise fall
+    back to ``localCheckpoint`` (fine on local[N], where executor ==
+    driver JVM). Every multi-consumer intermediate in this module routes
+    through here so the cluster-safety decision lives in ONE place."""
+    sc = df.sparkSession.sparkContext
+    if reliable is None:
+        reliable = sc.getCheckpointDir() is not None
+    if reliable and sc.getCheckpointDir() is None:
+        raise ValueError("reliable=True needs sc.setCheckpointDir(...)")
+    return (df.checkpoint(eager=True) if reliable
+            else df.localCheckpoint(eager=True))
 
 
 def tokens_col(text_col: str = "text"):
@@ -146,14 +167,27 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
-                        rows: int = 4, distinct: bool = True) -> DataFrame:
+                        rows: int = 4, distinct: bool = True,
+                        max_bucket: int | None = 5_000) -> DataFrame:
     """Band the signature (bands × rows = k) and emit candidate pairs
     from ONE aggregation per band bucket (groupBy → collect_set →
     in-bucket pair expansion), replacing the earlier bucket self-join —
     one shuffle of bands × (band_hash, id) rows instead of two scans of
-    the banded table. Pair explosion inside a bucket is bounded by real
-    near-duplicate cluster size (plus rare hash collisions), not corpus
-    size; the collected id array is bounded the same way.
+    the banded table.
+
+    ``max_bucket`` caps bucket expansion — DEFAULT-ON (5k). On a real
+    crawl the "real near-duplicate cluster size" that bounds a bucket is
+    itself unbounded: 10M copies of an empty/template page collide on
+    EVERY band, landing one 10M-id array on a single executor row and
+    10^14 pair rows. A bucket of b ids costs b ids collected + b(b−1)/2
+    pairs, so the cap bounds per-task memory at ~max_bucket longs and
+    pair fan-out at ~max_bucket²/2. Oversized buckets are DROPPED and
+    surfaced (count via ``log``) — the same stop-shingle ``max_df``
+    discipline the rest of this module applies; such mega-clusters are
+    exact-duplicate families that ``exact_dedup_groups`` already catches
+    at one hash per doc, which is the documented contract: run exact
+    dedup first, LSH finds what it can't. Pass ``None`` only for a
+    provably-small input.
 
     ``distinct=False`` skips the cross-band pair dedup (one full shuffle
     of the pair set) — for consumers whose downstream is
@@ -170,6 +204,20 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
     grp = (banded.groupBy("band_idx", "band_hash")
            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
            .filter(F.size("ids") > 1))
+    if max_bucket is not None:
+        # Materialize the (tiny: multi-occupant buckets only) bucket
+        # table ONCE so the oversize count and the pair expansion both
+        # read checkpointed blocks instead of each re-running the
+        # signature aggregation — the plan's dominant stage.
+        grp = _materialize(grp)
+        n = grp.filter(F.size("ids") > max_bucket).count()
+        if n:
+            log.warning(
+                "lsh_candidate_pairs: dropping %d band bucket(s) larger "
+                "than max_bucket=%d — mega-clusters this size are "
+                "exact-duplicate families; run exact dedup first or "
+                "raise max_bucket", n, max_bucket)
+        grp = grp.filter(F.size("ids") <= max_bucket)
     pairs = (grp.select(F.explode("ids").alias("id_a"), "ids")
              .select("id_a", F.explode("ids").alias("id_b"))
              .filter(F.col("id_a") < F.col("id_b")))
@@ -199,14 +247,15 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(df, id_col, text_col, k, n)
     # distinct=False: exact mode dedups via its final left-semi join;
     # estimate mode dedups below, before the signature joins fan out.
-    # The candidate set is MATERIALIZED (eager localCheckpoint): both
-    # verify modes consume it twice, and without truncation each consumer
-    # re-runs the whole signature aggregation — the plan's dominant
-    # stage. Candidate pairs are id-pairs bounded by real near-dup
-    # cluster volume, so the checkpointed state is tiny at any corpus
-    # size (the expensive upstream is exactly what it cuts off).
-    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False) \
-        .localCheckpoint(eager=True)
+    # The candidate set is MATERIALIZED: both verify modes consume it
+    # twice, and without truncation each consumer re-runs the whole
+    # signature aggregation — the plan's dominant stage. Candidate pairs
+    # are id-pairs bounded by max_bucket, so the checkpointed state is
+    # tiny at any corpus size. ``_materialize`` picks reliable
+    # checkpoints when a checkpoint dir is set (cluster mode) so an
+    # executor loss can't strand non-recomputable blocks.
+    cand = _materialize(
+        lsh_candidate_pairs(sig, bands, rows, distinct=False))
     if verify == "estimate":
         cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),
@@ -423,36 +472,50 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     return base.select("id", F.explode(fps).alias("fingerprint"))
 
 
+def _winnow_shared_counts(df: DataFrame, id_col: str, text_col: str,
+                          k: int, window: int,
+                          max_df: int | None) -> tuple[DataFrame, DataFrame]:
+    """Shared plumbing for the two winnow consumers: fingerprint →
+    materialize → ``max_df`` stop-fingerprint guard → inverted-index
+    self-join → per-pair shared counts. Returns (shared_pairs, fp) where
+    ``shared_pairs`` is (id_a, id_b, shared) and ``fp`` the guarded
+    fingerprint table (for containment's per-doc sizes).
+
+    The fingerprint table is consumed up to four times (max_df count +
+    both self-join sides + sizes) and its char-gram lineage is ~30× a
+    token-shingle pass, so it is materialized once via ``_materialize``
+    (reliable checkpoint when a checkpoint dir is configured —
+    fingerprints are ~2/(window+1) of gram volume; at extreme scale
+    write them to a table instead, the ANN-index pattern). ``max_df``
+    drops fingerprints shared by more than that many docs — boilerplate
+    grams are the stop-shingle skew bomb here too. No ``.distinct()``:
+    ``winnow_fingerprints`` is already per-doc distinct by
+    construction."""
+    fp = _materialize(winnow_fingerprints(df, id_col, text_col, k, window))
+    if max_df is not None:
+        hot = (fp.groupBy("fingerprint").count()
+               .filter(F.col("count") > max_df).select("fingerprint"))
+        fp = fp.join(hot, "fingerprint", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (a.join(b, "fingerprint")
+              .filter(F.col("a.id") < F.col("b.id"))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("shared")))
+    return shared, fp
+
+
 def winnow_similar_pairs(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", k: int = 8,
                          window: int = 4, min_shared: int = 2,
                          max_df: int | None = 10_000) -> DataFrame:
     """(id_a, id_b, shared) — pairs sharing ≥ ``min_shared`` winnowed
     fingerprints, via the inverted-index self-join (the same bucketed
-    never-all-pairs shape as the other dedup joins). ``max_df`` drops
-    fingerprints shared by more than that many docs — boilerplate grams
-    are the stop-shingle skew bomb here too.
-
-    The fingerprint table is consumed up to three times (max_df count +
-    both self-join sides) and its char-gram lineage is ~30× a
-    token-shingle pass, so it is materialized once (eager
-    localCheckpoint; fingerprints are ~2/(window+1) of gram volume — at
-    extreme scale write them to a table instead, the ANN-index pattern).
-    No ``.distinct()``: ``winnow_fingerprints`` is already per-doc
-    distinct by construction."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window) \
-        .localCheckpoint(eager=True)
-    if max_df is not None:
-        hot = (fp.groupBy("fingerprint").count()
-               .filter(F.col("count") > max_df).select("fingerprint"))
-        fp = fp.join(hot, "fingerprint", "left_anti")
-    a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, "fingerprint")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .groupBy(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-            .agg(F.count("*").alias("shared"))
-            .filter(F.col("shared") >= min_shared))
+    never-all-pairs shape as the other dedup joins); plumbing shared
+    with ``winnow_containment`` in ``_winnow_shared_counts``."""
+    shared, _ = _winnow_shared_counts(df, id_col, text_col, k, window,
+                                      max_df)
+    return shared.filter(F.col("shared") >= min_shared)
 
 
 def winnow_containment(df: DataFrame, id_col: str = "doc_id",
@@ -466,21 +529,11 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     dwarfs the intersection); containment of the short side reads ~1.0
     there — exactly the boilerplate/quotation/subset-dup case a training
     pipeline wants to catch. Keeps pairs where EITHER side's containment
-    ≥ ``threshold``; same inverted-index join shape and ``max_df`` skew
-    guard as ``winnow_similar_pairs``."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window) \
-        .localCheckpoint(eager=True)
-    if max_df is not None:
-        hot = (fp.groupBy("fingerprint").count()
-               .filter(F.col("count") > max_df).select("fingerprint"))
-        fp = fp.join(hot, "fingerprint", "left_anti")
+    ≥ ``threshold``; join shape and ``max_df`` skew guard shared with
+    ``winnow_similar_pairs`` via ``_winnow_shared_counts``."""
+    shared, fp = _winnow_shared_counts(df, id_col, text_col, k, window,
+                                       max_df)
     sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    shared = (a.join(b, "fingerprint")
-              .filter(F.col("a.id") < F.col("b.id"))
-              .groupBy(F.col("a.id").alias("id_a"),
-                       F.col("b.id").alias("id_b"))
-              .agg(F.count("*").alias("shared")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb"))
     return (shared.join(sa, "id_a").join(sb, "id_b")

@@ -339,3 +339,88 @@ def test_winnow_containment_finds_subset_doc(spark):
     assert cb >= 0.9            # short doc ~fully contained in long
     assert ca <= 0.3            # long doc barely contained in short
     assert all(3 not in pair for pair in rows)
+
+
+def _with_checkpoint_dir(spark, tmp_path):
+    """Context helper: set a checkpoint dir, yield it, restore None."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        sc = spark.sparkContext
+        assert sc.getCheckpointDir() is None
+        ckdir = str(tmp_path / "ck")
+        sc.setCheckpointDir(ckdir)
+        try:
+            yield ckdir
+        finally:
+            scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+    return cm()
+
+
+def test_minhash_reliable_checkpoints(spark, docs, tmp_path):
+    """With a checkpoint dir configured, minhash_dedup's materialized
+    candidate set rides RELIABLE checkpoints (shared store — survives
+    executor loss on a real cluster), and results are identical to the
+    localCheckpoint path."""
+    import glob
+
+    want = {(r.id_a, r.id_b): r.jaccard
+            for r in minhash_dedup(docs, threshold=0.5).collect()}
+    with _with_checkpoint_dir(spark, tmp_path) as ckdir:
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in minhash_dedup(docs, threshold=0.5).collect()}
+        assert got == want and len(got) >= 11
+        assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), \
+            "no reliable checkpoint data written"
+
+
+def test_winnow_reliable_checkpoints(spark, docs, tmp_path):
+    """Same contract for the winnow fingerprint materialization."""
+    import glob
+
+    from ocr_devnagari_spark.operators.dedup import winnow_similar_pairs
+
+    sample = docs.limit(30)
+    want = {(r.id_a, r.id_b): r.shared
+            for r in winnow_similar_pairs(sample).collect()}
+    with _with_checkpoint_dir(spark, tmp_path) as ckdir:
+        got = {(r.id_a, r.id_b): r.shared
+               for r in winnow_similar_pairs(sample).collect()}
+        assert got == want
+        assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), \
+            "no reliable checkpoint data written"
+
+
+def test_lsh_bucket_cap_drops_mega_cluster(spark):
+    """A pathological exact-duplicate family (10k identical docs) collides
+    on every band — uncapped that is one 10k-id array on a single task
+    and ~5*10^7 pairs per band. With the default cap the oversized
+    buckets are DROPPED and the job completes quickly; distinct small
+    clusters in the same input are still found."""
+    n_mega = 10_000
+    mega = [(i, "empty template page body nothing here at all") 
+            for i in range(n_mega)]
+    small = [(100_000, "a genuinely unique document about winnowing fish"),
+             (100_001, "a genuinely unique document about winnowing fish")]
+    df = spark.createDataFrame(mega + small, "doc_id long, text string")
+    sig = minhash_signatures(df, k=16)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows=4,
+                                max_bucket=1_000).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (100_000, 100_001) in got
+    assert all(a >= 100_000 for a, _ in got), \
+        "mega-cluster bucket should have been dropped"
+
+
+def test_lsh_bucket_cap_none_keeps_all(spark):
+    """max_bucket=None preserves the uncapped behaviour."""
+    df = spark.createDataFrame(
+        [(i, "the same tiny duplicated document text body") for i in range(8)],
+        "doc_id long, text string")
+    sig = minhash_signatures(df, k=16)
+    got = {(r.id_a, r.id_b)
+           for r in lsh_candidate_pairs(sig, bands=4, rows=4,
+                                        max_bucket=None).collect()}
+    assert len(got) == 8 * 7 // 2
