@@ -127,27 +127,110 @@ def lsh_bucket_topk(emb: DataFrame, query_vec, k: int = 10,
             .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
 
 
-def _index_version_dir(index_dir: str) -> str:
-    """Resolve the committed index version via the ``_current`` pointer
-    (same atomic-swap discipline as ``sources/icebox.py``)."""
-    import os
+def _hfs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` via the Hadoop FileSystem
+    API — the same storage layer Spark itself reads/writes through, so
+    every pointer/marker operation below works identically on ``file://``,
+    ``hdfs://`` and ``s3a://`` (a driver-local ``open()`` would break the
+    moment ``index_dir`` is an object-store URI)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(sc._jsc.hadoopConfiguration()), p, jvm
 
-    cp = os.path.join(index_dir, "_current")
-    if not os.path.exists(cp):
-        # legacy layout (pre-versioned builds): data/ + meta/ directly
-        # under index_dir — still valid, serve it rather than forcing a
-        # rebuild after upgrade
-        if os.path.isdir(os.path.join(index_dir, "data")):
-            return index_dir
-        raise FileNotFoundError(f"no committed ANN index in {index_dir}")
-    with open(cp) as f:
-        return os.path.join(index_dir, f.read().strip())
+
+_COMMITS = "_commits"
+
+
+def _list_commit_markers(fs, jvm, root) -> list:
+    """Sorted marker names under ``index_dir/_commits`` (ascending —
+    last is the committed version). Filtered to the ``<seq>-<version>``
+    shape: the local Hadoop FS writes ``.crc`` checksum sidecars next to
+    every file, which must be invisible to commit resolution and GC."""
+    cdir = jvm.org.apache.hadoop.fs.Path(root, _COMMITS)
+    if not fs.exists(cdir):
+        return []
+    names = (s.getPath().getName() for s in fs.listStatus(cdir))
+    return sorted(n for n in names
+                  if len(n) > 21 and n[:20].isdigit() and n[20] == "-")
+
+
+def _commit_version(spark, index_dir: str, version: str,
+                    keep_versions: int = 2) -> None:
+    """THE atomic commit point: create a zero-byte marker
+    ``_commits/<seq>-<version>``; the committed version is the
+    highest-named marker. A marker is a brand-new object (never an
+    overwrite or rename of a shared one), so the commit is atomic on
+    POSIX create and S3 PUT alike — ``os.replace`` semantics, which the
+    previous pointer-file design leaned on, don't exist on object
+    stores. Two concurrent builds write distinct marker names (seq +
+    uuid); name order picks the winner deterministically and the loser's
+    version is GC'd as superseded.
+
+    Superseded versions are RETAINED for ``keep_versions`` builds (an
+    in-flight query that resolved the old marker keeps reading live
+    files — the grace window) and garbage-collected lazily when their
+    marker falls off the tail. A pre-marker ``_current`` pointer file
+    (the round-3 layout) is folded in as marker seq 1 on first commit so
+    its version joins the normal retention/GC lifecycle."""
+    fs, root, jvm = _hfs(spark, index_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    markers = _list_commit_markers(fs, jvm, root)
+    legacy_cp = hpath(root, "_current")
+    if not markers and fs.exists(legacy_cp):
+        stream = fs.open(legacy_cp)
+        try:
+            legacy = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8").strip()
+        finally:
+            stream.close()
+        if legacy and legacy != version:
+            fs.mkdirs(hpath(root, _COMMITS))
+            fs.create(hpath(root, f"{_COMMITS}/{1:020d}-{legacy}"),
+                      False).close()
+            markers = _list_commit_markers(fs, jvm, root)
+        fs.delete(legacy_cp, False)
+    seq = int(markers[-1].split("-", 1)[0]) + 1 if markers else 1
+    fs.mkdirs(hpath(root, _COMMITS))
+    fs.create(hpath(root, f"{_COMMITS}/{seq:020d}-{version}"),
+              False).close()
+    # lazy GC: markers older than the keep window → version dir + marker
+    expired = _list_commit_markers(fs, jvm, root)[:-max(keep_versions, 1)]
+    for name in expired:
+        old = name.split("-", 1)[1]
+        fs.delete(hpath(root, old), True)
+        fs.delete(hpath(root, f"{_COMMITS}/{name}"), False)
+
+
+def _index_version_dir(spark, index_dir: str) -> str:
+    """Resolve the committed index version: newest ``_commits`` marker,
+    falling back to the round-3 ``_current`` pointer file, then to the
+    pre-versioned bare ``data/`` layout — all via the Hadoop FS API so
+    resolution works on the same storage layer as the data."""
+    fs, root, jvm = _hfs(spark, index_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    markers = _list_commit_markers(fs, jvm, root)
+    if markers:
+        return f"{index_dir.rstrip('/')}/{markers[-1].split('-', 1)[1]}"
+    cp = hpath(root, "_current")
+    if fs.exists(cp):
+        stream = fs.open(cp)
+        try:
+            version = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8").strip()
+        finally:
+            stream.close()
+        return f"{index_dir.rstrip('/')}/{version}"
+    if fs.exists(hpath(root, "data")):
+        return index_dir
+    raise FileNotFoundError(f"no committed ANN index in {index_dir}")
 
 
 def build_ann_index(emb: DataFrame, index_dir: str,
                     n_planes: int | None = None, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    target_bucket_rows: int = 1024) -> dict:
+                    target_bucket_rows: int = 1024,
+                    keep_versions: int = 2) -> dict:
     """Materialize the ANN index as a bucket-PARTITIONED parquet table —
     the scale path ``lsh_bucket_topk``'s docstring promises: bucket
     membership is computed ONCE at build time, so a query is partition
@@ -158,15 +241,17 @@ def build_ann_index(emb: DataFrame, index_dir: str,
     exact same hash family.
 
     The build is ATOMIC: data + meta land in a fresh ``v-<uuid>`` dir and
-    become visible only when the ``_current`` pointer swaps (the icebox
-    commit discipline). Writing data then meta in place could crash
-    in between and leave NEW bucket assignments under OLD plane geometry
-    — queries would silently probe the wrong buckets. A crashed build
-    leaves only an invisible orphan dir; the previous version keeps
-    serving. The superseded version is removed after the swap."""
+    become visible only when a ``_commits`` marker lands (see
+    ``_commit_version`` — a new-object create via the Hadoop FS API, so
+    the commit works on object stores where rename/replace isn't
+    atomic). Writing data then meta in place could crash in between and
+    leave NEW bucket assignments under OLD plane geometry — queries
+    would silently probe the wrong buckets. A crashed build leaves only
+    an invisible orphan dir; the previous version keeps serving.
+    Superseded versions are retained for ``keep_versions`` builds (grace
+    window for in-flight readers) then GC'd lazily."""
     import json
     import os
-    import shutil
     import uuid
 
     head = emb.agg(F.count(F.lit(1)).alias("n"),
@@ -193,17 +278,7 @@ def build_ann_index(emb: DataFrame, index_dir: str,
         [(json.dumps(meta),)], "meta string")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(vdir, "meta")))
-    old = None
-    cp = os.path.join(index_dir, "_current")
-    if os.path.exists(cp):
-        with open(cp) as f:
-            old = f.read().strip()
-    tmp = cp + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, cp)                      # THE atomic commit point
-    if old and old != version:               # superseded, now invisible
-        shutil.rmtree(os.path.join(index_dir, old), ignore_errors=True)
+    _commit_version(emb.sparkSession, index_dir, version, keep_versions)
     return meta
 
 
@@ -213,14 +288,25 @@ def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
     Hamming-1 neighbours), exact cosine re-rank inside the candidates.
     ``bucket`` is a hive partition column, so the probe filter is a
     PartitionFilter — non-probed files are never opened (asserted by
-    ``test_ann_index_partition_pruning``)."""
+    ``test_ann_index_partition_pruning``).
+
+    Pointer resolution retries once: a build that raced this query may
+    have GC'd the resolved version past its grace window, in which case
+    re-resolving lands on the freshly committed one."""
     import json
     import os
 
-    index_dir = _index_version_dir(index_dir)
-    meta = json.loads(
-        spark.read.parquet(os.path.join(index_dir, "meta"))
-        .first()["meta"])
+    vdir = _index_version_dir(spark, index_dir)
+    try:
+        meta = json.loads(
+            spark.read.parquet(os.path.join(vdir, "meta"))
+            .first()["meta"])
+    except Exception:
+        vdir = _index_version_dir(spark, index_dir)
+        meta = json.loads(
+            spark.read.parquet(os.path.join(vdir, "meta"))
+            .first()["meta"])
+    index_dir = vdir
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     qb = _python_bucket(query_vec, planes)
     probes = [qb] + ([qb ^ (1 << i) for i in range(meta["n_planes"])]

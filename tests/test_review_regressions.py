@@ -243,9 +243,9 @@ def test_ann_index_legacy_layout_still_served(spark, tmp_path):
             for r in ann_index_topk(spark, idx, q, k=5).collect()]
 
     # reconstruct the legacy layout from the versioned dir
+    from ocr_devnagari_spark.operators.similarity import _index_version_dir
     legacy = str(tmp_path / "oldidx")
-    with open(os.path.join(idx, "_current")) as f:
-        vdir = os.path.join(idx, f.read().strip())
+    vdir = _index_version_dir(spark, idx)
     os.makedirs(legacy)
     shutil.copytree(os.path.join(vdir, "data"),
                     os.path.join(legacy, "data"))

@@ -179,9 +179,10 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
 
 def test_ann_index_build_crash_keeps_old_version(spark, emb, tmp_path,
                                                  monkeypatch):
-    """A rebuild that dies before its pointer swap must leave queries on
-    the OLD index — data and meta can never be served from different
-    plane geometries (the wrong-bucket silent-recall failure)."""
+    """A rebuild that dies before its commit marker lands must leave
+    queries on the OLD index — data and meta can never be served from
+    different plane geometries (the wrong-bucket silent-recall
+    failure)."""
     import os
 
     from ocr_devnagari_spark.operators import similarity as sim
@@ -192,15 +193,10 @@ def test_ann_index_build_crash_keeps_old_version(spark, emb, tmp_path,
     before = [(r.vec_id, r.cosine)
               for r in sim.ann_index_topk(spark, idx, q, k=10).collect()]
 
-    real_replace = os.replace
+    def boom(*a, **kw):
+        raise OSError("simulated crash before commit marker")
 
-    def boom(src, dst):
-        if dst.endswith("_current"):
-            raise OSError("simulated crash before pointer swap")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(sim.os if hasattr(sim, "os") else os,
-                        "replace", boom)
+    monkeypatch.setattr(sim, "_commit_version", boom)
     import pytest as _pytest
     with _pytest.raises(OSError, match="simulated crash"):
         # different geometry: served buckets would be wrong if any of
@@ -214,7 +210,66 @@ def test_ann_index_build_crash_keeps_old_version(spark, emb, tmp_path,
     # and a subsequent SUCCESSFUL rebuild swaps cleanly
     sim.build_ann_index(emb, idx, n_planes=4, seed=99)
     import json
-    vdir = sim._index_version_dir(idx)
+    vdir = sim._index_version_dir(spark, idx)
     meta = json.loads(
         spark.read.parquet(os.path.join(vdir, "meta")).first()["meta"])
     assert meta["n_planes"] == 4 and meta["seed"] == 99
+
+
+def test_ann_index_grace_retention_and_gc(spark, emb, tmp_path):
+    """Superseded versions stay readable for ``keep_versions`` builds (an
+    in-flight reader that resolved the old marker keeps working), then
+    fall off the tail and are GC'd with their markers."""
+    import os
+
+    from ocr_devnagari_spark.operators import similarity as sim
+
+    idx = str(tmp_path / "annidx_grace")
+    sim.build_ann_index(emb, idx, n_planes=6, seed=42)
+    v1 = sim._index_version_dir(spark, idx)
+    sim.build_ann_index(emb, idx, n_planes=5, seed=7)
+    v2 = sim._index_version_dir(spark, idx)
+    assert v2 != v1
+    # grace window: the superseded v1 data is still on disk and readable
+    assert os.path.isdir(os.path.join(v1, "data"))
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    assert len(sim.ann_index_topk(spark, idx, q, k=5).collect()) == 5
+    # a third build pushes v1 past keep_versions=2 -> GC'd, v2 retained
+    sim.build_ann_index(emb, idx, n_planes=4, seed=9)
+    assert not os.path.exists(v1)
+    assert os.path.isdir(os.path.join(v2, "data"))
+    markers = [m for m in os.listdir(os.path.join(idx, "_commits"))
+               if not m.startswith(".")]          # skip .crc sidecars
+    assert len(markers) == 2
+
+
+def test_ann_index_legacy_pointer_migrates(spark, emb, tmp_path):
+    """A round-3 index (``_current`` pointer file, no ``_commits``) is
+    served as-is, and the first new-style build folds the legacy version
+    into the marker log so it gets the same grace/GC lifecycle."""
+    import os
+
+    from ocr_devnagari_spark.operators import similarity as sim
+
+    idx = str(tmp_path / "annidx_legacy")
+    sim.build_ann_index(emb, idx, n_planes=6, seed=42)
+    vdir = sim._index_version_dir(spark, idx)
+    version = os.path.basename(vdir)
+    # rewrite the commit as the round-3 layout: pointer file, no markers
+    import shutil
+    shutil.rmtree(os.path.join(idx, "_commits"))
+    with open(os.path.join(idx, "_current"), "w") as f:
+        f.write(version)
+    assert sim._index_version_dir(spark, idx) == vdir
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    want = [(r.vec_id, r.cosine)
+            for r in sim.ann_index_topk(spark, idx, q, k=5).collect()]
+    # new-style rebuild: legacy version becomes marker 1, new one wins,
+    # pointer file is retired; legacy data survives the grace window
+    sim.build_ann_index(emb, idx, n_planes=4, seed=99)
+    assert not os.path.exists(os.path.join(idx, "_current"))
+    markers = sorted(m for m in os.listdir(os.path.join(idx, "_commits"))
+                     if not m.startswith("."))    # skip .crc sidecars
+    assert len(markers) == 2 and markers[0].endswith(version)
+    assert os.path.isdir(os.path.join(vdir, "data"))
+    assert len(want) == 5
