@@ -126,28 +126,33 @@ def _messy_url() -> F.Column:
     (case, default ports, tracking params, param order, fragments,
     userinfo, non-URL passthrough) has signal on the driver corpus."""
     sid = F.col("doc_id").cast("string")
-    return (F.when(F.col("doc_id") % 5 == 0,
+    return (F.when(F.col("doc_id") % 6 == 0,
                    F.concat(F.lit("HTTP://WWW.Example.COM:80/a/"), sid,
                             F.lit("?utm_source=x&b=2&a=1#frag")))
-            .when(F.col("doc_id") % 5 == 1,
+            .when(F.col("doc_id") % 6 == 1,
                   F.concat(F.lit("https://News.site.org:443/p/"), sid,
                            F.lit("/")))
-            .when(F.col("doc_id") % 5 == 2,
+            .when(F.col("doc_id") % 6 == 2,
                   F.concat(F.lit("https://user@Sub.Example.com/x/"), sid))
-            .when(F.col("doc_id") % 5 == 3,
+            .when(F.col("doc_id") % 6 == 3,
                   F.concat(F.lit("http://example.com:8080/y?z=1&gclid="),
                            sid, F.lit("&y=2")))
+            .when(F.col("doc_id") % 6 == 4,
+                  F.concat(F.lit("https://example.com/p%61th/%7e"), sid,
+                           F.lit("?q=%41%3f")))
             .otherwise(F.concat(F.lit("not a url "), sid)))
 
 _MESSY_URL_SQL = (
-    "CASE WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
+    "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
     "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
-    "WHEN doc_id % 5 = 1 THEN 'https://News.site.org:443/p/' || "
+    "WHEN doc_id % 6 = 1 THEN 'https://News.site.org:443/p/' || "
     "CAST(doc_id AS VARCHAR) || '/' "
-    "WHEN doc_id % 5 = 2 THEN 'https://user@Sub.Example.com/x/' || "
+    "WHEN doc_id % 6 = 2 THEN 'https://user@Sub.Example.com/x/' || "
     "CAST(doc_id AS VARCHAR) "
-    "WHEN doc_id % 5 = 3 THEN 'http://example.com:8080/y?z=1&gclid=' || "
+    "WHEN doc_id % 6 = 3 THEN 'http://example.com:8080/y?z=1&gclid=' || "
     "CAST(doc_id AS VARCHAR) || '&y=2' "
+    "WHEN doc_id % 6 = 4 THEN 'https://example.com/p%61th/%7e' || "
+    "CAST(doc_id AS VARCHAR) || '?q=%41%3f' "
     "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END")
 
 
@@ -804,9 +809,29 @@ def _url_host_sql(u: str) -> str:
     return f"lower(regexp_replace({no_user}, ':\\d*$', ''))"
 
 
+def _percent_norm_sql(u: str) -> str:
+    """DuckDB mirror of functions.url.percent_normalize — same rewrite
+    order (all first-digit hex uppercases, then second-digit, then the
+    UNRESERVED decode chain), generated from the same constant set.
+    DuckDB's regexp_replace is first-match-only by default → 'g' flag."""
+    from ocr_devnagari_spark.functions.url import UNRESERVED
+    c = u
+    for ch in "abcdef":
+        c = (f"regexp_replace({c}, '%{ch}([0-9a-fA-F])', "
+             f"'%{ch.upper()}\\1', 'g')")
+    for ch in "abcdef":
+        c = (f"regexp_replace({c}, '%([0-9A-F]){ch}', "
+             f"'%\\1{ch.upper()}', 'g')")
+    for un in UNRESERVED:
+        c = f"replace({c}, '%{ord(un):02X}', '{un}')"
+    return f"CASE WHEN contains({u}, '%') THEN {c} ELSE {u} END"
+
+
 def _url_canon_sql(u: str) -> str:
     """DuckDB mirror of functions.url.canonicalize_url, generated from
     the same regex constants."""
+    raw = u
+    u = f"({_percent_norm_sql(u)})"
     scheme = f"lower(regexp_extract({u}, '{_sq(_U_SCHEME)}', 1))"
     host = _url_host_sql(u)
     auth = f"regexp_extract({u}, '{_sq(_U_AUTH)}', 1)"
@@ -823,7 +848,7 @@ def _url_canon_sql(u: str) -> str:
              f"(CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END) || "
              f"{path} || "
              f"(CASE WHEN {query} != '' THEN '?' || {query} ELSE '' END)")
-    return f"CASE WHEN {scheme} != '' THEN {canon} ELSE {u} END"
+    return f"CASE WHEN {scheme} != '' THEN {canon} ELSE {raw} END"
 
 
 _JACCARD_SQL = """

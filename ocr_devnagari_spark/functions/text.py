@@ -109,14 +109,17 @@ def _gated_count(col: Column, literals: tuple, pattern: str) -> Column:
     can only match when one of ``literals`` is present, and a substring
     scan that short-circuits on first hit is far cheaper than a full
     regex pass on the (overwhelmingly common) no-match rows. Semantics
-    are identical — the gate is implied by the pattern — so the DuckDB
-    oracles keep the plain-count formula."""
+    are identical — the gate is implied by the pattern, and NULL input
+    yields NULL exactly like plain ``regexp_count`` (the ungated
+    ``otherwise(0)`` silently mapped NULL text to count 0, diverging
+    from the DuckDB oracle formulae on NULL rows) — so the oracles keep
+    the plain-count formula."""
     gate = None
     for s in literals:
         c = F.contains(col, F.lit(s))
         gate = c if gate is None else gate | c
     return (F.when(gate, F.regexp_count(col, F.lit(pattern)))
-            .otherwise(F.lit(0)))
+            .when(col.isNotNull(), F.lit(0)))
 
 
 def bija_count(col: Column) -> Column:

@@ -19,19 +19,32 @@ for real-world http(s) URLs):
   ``mc_eid`` — unambiguous click-id params only; a generic name like
   ``ref`` is content-bearing on many sites and is kept);
 - remaining query params sorted (byte order) so param order never splits
-  a dedup group.
+  a dedup group;
+- userinfo dropped (``user:pass@host`` → ``host``): credentials never
+  distinguish crawl documents, and re-crawl frontiers routinely carry
+  the same URL with and without them — a deliberate dedup choice;
+- percent-encoding normalized per RFC 3986 §2.3/§6.2.2: hex digits
+  uppercased (``%3f`` → ``%3F``) and UNRESERVED characters decoded
+  (``%7E`` → ``~``, ``%41`` → ``A``); reserved escapes (``%2F``,
+  ``%3F``, ``%25``…) are kept encoded — decoding those would change
+  the URL's structure. Malformed escapes (``%zz``, trailing ``%a``)
+  pass through untouched.
 
-Not done (documented simplifications): percent-encoding normalization and
-dot-segment resolution (rare in crawl frontiers, and ``../`` resolution
-is not expressible without a loop); registrable-domain extraction is
-last-two-labels (no public-suffix list ships in this sandbox — plug one
-in as a broadcast join against a suffix table at cluster scale).
+Not done (documented simplifications): dot-segment resolution (rare in
+crawl frontiers, and ``../`` resolution is not expressible without a
+loop); registrable-domain extraction is last-two-labels (no
+public-suffix list ships in this sandbox — plug one in as a broadcast
+join against a suffix table at cluster scale).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+UNRESERVED = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz"
+              "0123456789-._~")
 
 SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
@@ -40,6 +53,26 @@ PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
 # fragment (SPA routes like '#/search?q=x') is fragment text, not query
 QUERY_RE = r"^[^#?]*\?([^#]*)"
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)(=|$)"
+
+
+def percent_normalize(col: Column) -> Column:
+    """RFC 3986 percent-escape normalization, pure Catalyst: first
+    uppercase lowercase hex digits (all first-digit rewrites, THEN all
+    second-digit ones — ``%fa`` needs its first digit uppercased before
+    ``%([0-9A-F])a`` can see it), then decode the 66 UNRESERVED
+    characters with a constant ``replace`` chain. Decoding unreserved
+    chars can never introduce a delimiter or a new ``%``, so the chain
+    order is safe; reserved escapes survive (uppercased). Gated on a
+    ``contains('%')`` pre-check — the 12 regex passes are skipped
+    entirely on the overwhelmingly-common escape-free URL."""
+    c = col
+    for ch in "abcdef":
+        c = F.regexp_replace(c, f"%{ch}([0-9a-fA-F])", f"%{ch.upper()}$1")
+    for ch in "abcdef":
+        c = F.regexp_replace(c, f"%([0-9A-F]){ch}", f"%$1{ch.upper()}")
+    for u in UNRESERVED:
+        c = F.replace(c, F.lit(f"%{ord(u):02X}"), F.lit(u))
+    return F.when(F.contains(col, F.lit("%")), c).otherwise(col)
 
 
 def url_scheme(col: Column) -> Column:
@@ -75,6 +108,8 @@ def _canonical_query(col: Column) -> Column:
 def canonicalize_url(col: Column) -> Column:
     """Canonical form per the module rules; non-URL strings (no
     ``scheme://``) pass through unchanged."""
+    raw = col
+    col = percent_normalize(col)
     scheme = url_scheme(col)
     host = url_host(col)
     port = url_port(col)
@@ -90,4 +125,4 @@ def canonicalize_url(col: Column) -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
-    return F.when(scheme != "", canon).otherwise(col)
+    return F.when(scheme != "", canon).otherwise(raw)

@@ -141,3 +141,28 @@ def test_functions_stay_jvm_side(spark, sdf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "*(1)" in plan       # the codegen'd span marker in plan strings
+
+
+def test_gated_count_null_propagates(spark):
+    """NULL text must yield NULL counts — exactly what the ungated
+    ``regexp_count`` (and the DuckDB oracle formulae) produce — not 0."""
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.functions.text import (
+        bija_count,
+        code_count,
+        verse_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ॐ नमः शिवाय"), (3, "plain ascii text")],
+        "id long, text string")
+    rows = {r.id: (r.b, r.v, r.c)
+            for r in df.select(
+                "id",
+                bija_count(F.col("text")).alias("b"),
+                verse_count(F.col("text")).alias("v"),
+                code_count(F.col("text")).alias("c")).collect()}
+    assert rows[1] == (None, None, None)
+    assert rows[2][0] == 1 and rows[2][1] == 0
+    assert rows[3] == (0, 0, 0)

@@ -76,3 +76,36 @@ def test_url_oracle_agreement(spark, name):
     want = sorted(tuple(r) for r in con.sql(em.oracle_sql()[name])
                   .fetchall())
     assert got == want
+
+
+def test_percent_normalization_rules(spark):
+    """Fixed-expectation pins for RFC 3986 escape normalization — these
+    are NOT generated from shared constants, so a constant-level bug
+    can't hide (the QUERY_RE fragment-leak lesson)."""
+    from ocr_devnagari_spark.functions.url import (
+        canonicalize_url,
+        percent_normalize,
+    )
+
+    cases = [
+        # unreserved decoded, any input hex case
+        ("https://x.com/%7efoo", "https://x.com/~foo"),
+        ("https://x.com/%7Efoo", "https://x.com/~foo"),
+        ("https://x.com/%41%61%30%2D%2e%5F", "https://x.com/Aa0-._"),
+        # reserved stays encoded, hex uppercased
+        ("https://x.com/a%2fb?q=%3f", "https://x.com/a%2Fb?q=%3F"),
+        ("https://x.com/%25%fa", "https://x.com/%25%FA"),
+        # malformed escapes untouched
+        ("https://x.com/%zz%a", "https://x.com/%zz%a"),
+        # no '%' -> fast path, unchanged
+        ("https://x.com/plain", "https://x.com/plain"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in
+           df.select(percent_normalize(F.col("u")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    # and the equivalence the whole feature exists for:
+    pair = spark.createDataFrame(
+        [("https://x.com/%7efoo",), ("https://x.com/~foo",)], "u string")
+    assert pair.select(canonicalize_url(F.col("u")).alias("c")) \
+        .distinct().count() == 1
