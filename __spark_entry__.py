@@ -142,6 +142,81 @@ def _messy_url() -> F.Column:
                            F.lit("?q=%41%3f")))
             .otherwise(F.concat(F.lit("not a url "), sid)))
 
+def _synthetic_html() -> F.Column:
+    """Deterministic HTML wrappers over doc_id: robots-noindex in both
+    attribute orders, nofollow-only (must NOT gate), and plain pages."""
+    sid = F.col("doc_id").cast("string")
+    return (F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit('<html><head><meta name="ROBOTS" '
+                                  'content="NOINDEX, nofollow"></head>'
+                                  '<body>'), sid, F.lit("</body>")))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.concat(F.lit("<head><meta content='noindex' "
+                                 "name=robots></head><p>"), sid))
+            .when(F.col("doc_id") % 7 == 2,
+                  F.concat(F.lit('<head><meta name="robots" '
+                                 'content="nofollow"></head>'), sid))
+            .otherwise(F.concat(F.lit("<html><body>page "), sid,
+                                F.lit(" noindex mentioned in prose"))))
+
+
+_SYNTHETIC_HTML_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN '<html><head><meta name=\"ROBOTS\" "
+    "content=\"NOINDEX, nofollow\"></head><body>' || "
+    "CAST(doc_id AS VARCHAR) || '</body>' "
+    "WHEN doc_id % 7 = 1 THEN '<head><meta content=''noindex'' "
+    "name=robots></head><p>' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 7 = 2 THEN '<head><meta name=\"robots\" "
+    "content=\"nofollow\"></head>' || CAST(doc_id AS VARCHAR) "
+    "ELSE '<html><body>page ' || CAST(doc_id AS VARCHAR) || "
+    "' noindex mentioned in prose' END")
+
+
+def _synthetic_path() -> F.Column:
+    sid = F.col("doc_id").cast("string")
+    return (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("/private/p"), sid))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("/admin/a"), sid))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/public/c"), sid))
+            .otherwise(F.lit("/tmp")))
+
+
+_SYNTHETIC_PATH_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 4 = 1 THEN '/admin/a' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 4 = 2 THEN '/public/c' || CAST(doc_id AS VARCHAR) "
+    "ELSE '/tmp' END")
+
+
+# one synthetic robots.txt corpus, shared verbatim by the Spark query
+# (createDataFrame) and the DuckDB oracle (VALUES) — group semantics,
+# CRLF, comments, empty-Disallow and non-star groups all have signal
+_ROBOTS_CORPUS = [
+    ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
+           "Crawl-delay: 2"),
+    ("h1", "User-agent: googlebot\nUser-agent: *\nDisallow: /admin"),
+    ("h2", "User-agent: googlebot\nDisallow: /only-google"),
+    ("h3", "# comment\nUser-agent: *\nDisallow:\nCrawl-delay: 0.5"),
+    ("h4", "User-agent: *\r\nDisallow: /a # trailing\r\n"),
+    ("h5", "User-agent: *\nDisallow: /x\n\nUser-agent: bing\n"
+           "Disallow: /bing-only\n\nUser-agent: *\nDisallow: /y"),
+]
+
+
+def _robots_corpus_df(spark):
+    return spark.createDataFrame(_ROBOTS_CORPUS,
+                                 "host string, robots_txt string")
+
+
+def _robots_corpus_sql() -> str:
+    rows = ", ".join(
+        "('" + h + "', '" + b.replace("'", "''") + "')"
+        for h, b in _ROBOTS_CORPUS)
+    return f"(VALUES {rows}) AS _r(host, robots_txt)"
+
+
 _MESSY_URL_SQL = (
     "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
     "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
@@ -365,6 +440,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("domain").agg(F.count("*").alias("n_urls")))
     q["url_domain_stats"] = url_domain_stats
 
+    # ---- robots gating (beyond-ref: compliant-crawl surface) ----
+    def robots_noindex(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import meta_robots_noindex
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id",
+                        meta_robots_noindex(_synthetic_html())
+                        .alias("noindex"))
+    q["robots_noindex"] = robots_noindex
+
+    def robots_rules(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import parse_robots_rules
+        return parse_robots_rules(_robots_corpus_df(spark))
+    q["robots_rules"] = robots_rules
+
+    def robots_gate_stats(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import (
+            match_disallowed,
+            parse_robots_rules,
+        )
+        d = _t(spark, sf_dir, "documents")
+        urls = d.select("doc_id",
+                        F.concat(F.lit("h"),
+                                 (F.col("doc_id") % 6).cast("string"))
+                        .alias("host"),
+                        _synthetic_path().alias("path"))
+        rules = parse_robots_rules(_robots_corpus_df(spark))
+        m = match_disallowed(urls, rules)
+        return (m.groupBy("host")
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum(F.col("disallowed").cast("long"))
+                     .alias("n_disallowed")))
+    q["robots_gate_stats"] = robots_gate_stats
+
     # ---- dedup: exact groups over planted clones ----
     def dedup_exact(spark, sf_dir):
         return exact_dedup_groups(_dupful_docs(spark, sf_dir))
@@ -416,6 +524,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     k=16, window=8, min_shared=10)
                 .select("id_a", "id_b", "shared"))
     q["dedup_winnow"] = dedup_winnow
+
+    # ---- dedup: winnow containment (rows-only; subset-doc pytest
+    #      oracle) — MOSS-style asymmetric overlap for subset dups ----
+    def dedup_winnow_containment(spark, sf_dir):
+        from ocr_devnagari_spark.operators.dedup import winnow_containment
+        return (winnow_containment(
+                    _dupful_docs(spark, sf_dir, source="src0"),
+                    k=16, window=8, threshold=0.5)
+                .select("id_a", "id_b", "containment_a", "containment_b"))
+    q["dedup_winnow_containment"] = dedup_winnow_containment
+
+    # ---- bucketed co-located join: zero-Exchange plan asserted
+    #      IN-QUERY, result oracle-checkable (bucketing is physical) ----
+    def bucketed_join_stats(spark, sf_dir):
+        from ocr_devnagari_spark.sources.bucketed import (
+            read_bucketed,
+            write_bucketed,
+        )
+        import os
+        import tempfile
+
+        d = _t(spark, sf_dir, "documents")
+        left = d.select("doc_id", F.length("text").alias("text_len"))
+        right = d.select("doc_id", "source")
+        # fresh external location per call: the in-memory catalog forgets
+        # managed tables across sessions but their warehouse dirs persist
+        # (LOCATION_ALREADY_EXISTS on the next run)
+        base = tempfile.mkdtemp(prefix="gate_bkt_")
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_right")
+        write_bucketed(left, "gate_bkt_left", ["doc_id"], 8,
+                       sort_cols=["doc_id"], path=os.path.join(base, "l"))
+        write_bucketed(right, "gate_bkt_right", ["doc_id"], 8,
+                       sort_cols=["doc_id"], path=os.path.join(base, "r"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "gate_bkt_left").join(
+                read_bucketed(spark, "gate_bkt_right"), "doc_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            if "Exchange" in plan:
+                raise AssertionError(
+                    "bucketed join planned an Exchange — bucket metadata "
+                    "lost?\n" + plan)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        return (j.groupBy("source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("text_len").alias("total_len")))
+    q["bucketed_join_stats"] = bucketed_join_stats
 
     # ---- dedup: SimHash fingerprints (rows-only) ----
     def dedup_simhash(spark, sf_dir):
@@ -851,6 +1009,84 @@ def _url_canon_sql(u: str) -> str:
     return f"CASE WHEN {scheme} != '' THEN {canon} ELSE {raw} END"
 
 
+def _robots_grp_sql() -> str:
+    """DuckDB mirror of functions.robots._star_groups, generated from
+    the same regex constants: line split (CRLF-tolerant, comments
+    stripped) → UA-run group ids via two window passes → star flag."""
+    from ocr_devnagari_spark.functions.robots import UA_LINE_RE
+    ua = _sq(UA_LINE_RE)
+    return f"""
+_robots AS (SELECT * FROM {_robots_corpus_sql()}),
+_lines AS (
+  SELECT host, u.i AS pos,
+         trim(regexp_replace(sp[u.i], '#.*$', '')) AS line
+  FROM (SELECT host, string_split_regex(robots_txt, '\\r?\\n') AS sp
+        FROM _robots),
+       LATERAL unnest(generate_series(1, greatest(len(sp), 0))) AS u(i)),
+_flag AS (
+  SELECT host, pos, line,
+         regexp_matches(line, '{ua}') AS is_ua,
+         lower(trim(regexp_extract(line, '{ua}', 1))) AS ua_val
+  FROM _lines),
+_new AS (
+  SELECT *, CASE WHEN is_ua AND NOT coalesce(
+            lag(is_ua) OVER (PARTITION BY host ORDER BY pos), false)
+            THEN 1 ELSE 0 END AS is_new
+  FROM _flag),
+_grp AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM _new),
+_star AS (
+  SELECT host, grp, bool_or(is_ua AND ua_val = '*') AS star
+  FROM _grp GROUP BY host, grp),
+_rules AS (
+  SELECT DISTINCT g.host, regexp_extract(g.line, '{{dis}}', 1) AS prefix
+  FROM _grp g JOIN _star s ON s.host = g.host AND s.grp = g.grp
+  WHERE s.star AND regexp_matches(g.line, '{{dis}}')
+    AND regexp_extract(g.line, '{{dis}}', 1) != '')
+"""
+
+
+def _robots_rules_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import DISALLOW_LINE_RE
+    body = _robots_grp_sql().format(dis=_sq(DISALLOW_LINE_RE))
+    return f"WITH {body} SELECT host, prefix FROM _rules"
+
+
+def _robots_gate_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import DISALLOW_LINE_RE
+    body = _robots_grp_sql().format(dis=_sq(DISALLOW_LINE_RE))
+    return f"""
+WITH {body},
+_urls AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+         {_SYNTHETIC_PATH_SQL} AS path
+  FROM documents),
+_m AS (
+  SELECT u.doc_id, u.host,
+         max(CASE WHEN r.prefix IS NOT NULL
+                   AND starts_with(u.path, r.prefix)
+             THEN 1 ELSE 0 END) AS dis
+  FROM _urls u LEFT JOIN _rules r ON r.host = u.host
+  GROUP BY u.doc_id, u.host, u.path)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(dis) AS BIGINT) AS n_disallowed
+FROM _m GROUP BY host
+"""
+
+
+def _robots_noindex_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import (
+        META_NOINDEX_RE,
+        META_NOINDEX_REV_RE,
+    )
+    return (f"SELECT doc_id, "
+            f"(regexp_matches(html, '{_sq(META_NOINDEX_RE)}') OR "
+            f"regexp_matches(html, '{_sq(META_NOINDEX_REV_RE)}')) "
+            f"AS noindex FROM (SELECT doc_id, {_SYNTHETIC_HTML_SQL} "
+            f"AS html FROM documents)")
+
+
 _JACCARD_SQL = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
 toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
@@ -991,6 +1227,15 @@ def oracle_sql() -> dict[str, str]:
             f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "
             "GROUP BY md5(text) HAVING count(*) > 1"),
         "dedup_jaccard": _JACCARD_SQL,
+        "robots_noindex": _robots_noindex_sql(),
+        "robots_rules": _robots_rules_sql(),
+        "robots_gate_stats": _robots_gate_sql(),
+        # bucketing is a physical property — the logical result is a
+        # plain 1:1 self-join ≡ one aggregation over documents
+        "bucketed_join_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_len "
+            "FROM documents GROUP BY source"),
         # components = min reachable id (unique fixpoint, so the iterative
         # Spark propagation and the recursive CTE agree exactly).
         # MATERIALIZED: DuckDB otherwise inlines the CTE into every

@@ -1,0 +1,129 @@
+"""Robots gating — meta-robots noindex detection and robots.txt rule
+extraction, Catalyst-native (beyond-ref, like ``functions/url.py``: the
+natural next crawl-pipeline surface after URL canonicalization).
+
+A compliant training-data pipeline drops pages whose authors opted out:
+
+- ``meta_robots_noindex(html)`` — page-level predicate over the raw HTML
+  (``<meta name="robots" content="...noindex...">``, either attribute
+  order, any case/quoting). Regex-only, so it is DuckDB-oracle-checkable
+  like the URL family.
+- ``parse_robots_rules(df)`` — robots.txt → (host, prefix) Disallow
+  rows for the ``*`` user-agent, honouring GROUP semantics (RFC 9309
+  §2.1: consecutive ``User-agent`` lines form one group; a group's
+  rules apply if ANY of its agents is ``*``). Implemented with window
+  functions (last-UA-run group ids), no per-row Python, and mirrored
+  in SQL for the oracle.
+- ``crawl_delays(df)`` — per-host politeness: ``Crawl-delay`` seconds
+  for the ``*`` group (non-standard but ubiquitous; fractional allowed).
+- ``match_disallowed(urls, rules)`` — URL × rule prefix match via a
+  broadcast join (the rules table is tiny next to a crawl frontier).
+
+Documented simplifications: no ``Allow`` precedence (RFC 9309 longest-
+match between Allow and Disallow — rare in practice and needs per-URL
+argmax over rule lengths; the conservative reading here treats any
+matching Disallow as disallowed), no ``$``/``*`` wildcards inside rule
+paths (matched literally as prefixes), and agent-specific groups other
+than ``*`` are ignored (a trainer's crawler should follow the generic
+group unless it announces a product token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# attribute order varies in the wild: name before content and the
+# reverse both occur; (?is) = case-insensitive + dotall (Java and RE2
+# agree on these inline flags, keeping the DuckDB oracle identical)
+META_NOINDEX_RE = (
+    r"(?is)<meta\s[^>]*name\s*=\s*['\"]?robots['\"]?[^>]*"
+    r"content\s*=\s*['\"][^'\"]*noindex")
+META_NOINDEX_REV_RE = (
+    r"(?is)<meta\s[^>]*content\s*=\s*['\"][^'\"]*noindex[^'\"]*['\"]"
+    r"[^>]*name\s*=\s*['\"]?robots")
+
+UA_LINE_RE = r"(?i)^user-agent\s*:\s*(.*)$"
+DISALLOW_LINE_RE = r"(?i)^disallow\s*:\s*(\S*)"
+CRAWL_DELAY_LINE_RE = r"(?i)^crawl-delay\s*:\s*([0-9.]+)"
+
+
+def meta_robots_noindex(html: Column) -> Column:
+    """TRUE when the page carries a robots-noindex meta tag."""
+    return html.rlike(META_NOINDEX_RE) | html.rlike(META_NOINDEX_REV_RE)
+
+
+def _robots_lines(df: DataFrame, host_col: str,
+                  body_col: str) -> DataFrame:
+    """(host, pos, line): split → strip ``#`` comments → trim. Kept as
+    one narrow projection so both rule and delay extraction share it."""
+    lines = F.split(F.col(body_col), r"\r?\n")
+    return (df.select(F.col(host_col).alias("host"),
+                      F.posexplode(lines).alias("pos", "raw"))
+            .select("host", "pos",
+                    F.trim(F.regexp_replace("raw", r"#.*$", ""))
+                    .alias("line")))
+
+
+def _star_groups(lines: DataFrame) -> DataFrame:
+    """(host, pos, line, grp, star): group id = run index of consecutive
+    User-agent lines (a new run starts a group, per RFC 9309 §2.1);
+    ``star`` = the group names agent ``*``. Two window passes over
+    (host, pos) — the shuffle carries only the robots corpus, which is
+    ~1 small file per host."""
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("line").rlike(UA_LINE_RE)
+    ua_val = F.lower(F.trim(F.regexp_extract("line", UA_LINE_RE, 1)))
+    with_grp = (lines
+                .withColumn("_new", (is_ua & ~F.coalesce(
+                    F.lag(is_ua).over(w), F.lit(False))).cast("int"))
+                .withColumn("grp", F.sum("_new").over(w))
+                .withColumn("_ua", F.when(is_ua, ua_val)))
+    stars = (with_grp.groupBy("host", "grp")
+             .agg(F.max(F.col("_ua") == "*").alias("star")))
+    return (with_grp.join(stars, ["host", "grp"])
+            .select("host", "pos", "line", "grp", "star"))
+
+
+def parse_robots_rules(df: DataFrame, host_col: str = "host",
+                       body_col: str = "robots_txt") -> DataFrame:
+    """(host, prefix) Disallow rules for the ``*`` user-agent group(s).
+    Empty Disallow values (allow-all markers) are dropped."""
+    g = _star_groups(_robots_lines(df, host_col, body_col))
+    prefix = F.regexp_extract("line", DISALLOW_LINE_RE, 1)
+    return (g.filter(F.col("star")
+                     & F.col("line").rlike(DISALLOW_LINE_RE))
+            .select("host", prefix.alias("prefix"))
+            .filter(F.col("prefix") != "")
+            .distinct())
+
+
+def crawl_delays(df: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, crawl_delay): seconds for the ``*`` group; hosts that set
+    several take the MAX (the polite reading)."""
+    g = _star_groups(_robots_lines(df, host_col, body_col))
+    delay = F.regexp_extract("line", CRAWL_DELAY_LINE_RE, 1)
+    return (g.filter(F.col("star")
+                     & F.col("line").rlike(CRAWL_DELAY_LINE_RE))
+            .select("host", delay.cast("double").alias("crawl_delay"))
+            .groupBy("host")
+            .agg(F.max("crawl_delay").alias("crawl_delay")))
+
+
+def match_disallowed(urls: DataFrame, rules: DataFrame,
+                     host_col: str = "host",
+                     path_col: str = "path") -> DataFrame:
+    """urls + ``disallowed`` flag: TRUE when any of the host's Disallow
+    prefixes is a prefix of the path. The rules side is tiny (one
+    robots.txt per host) → BROADCAST, so a 10^12-row frontier never
+    shuffles; per-URL cost is a hash probe + startswith over the host's
+    few rules."""
+    r = rules.select(F.col("host").alias(host_col),
+                     F.col("prefix"))
+    hit = (urls.join(F.broadcast(r), host_col, "left")
+           .withColumn("_hit",
+                       F.col("prefix").isNotNull()
+                       & F.col(path_col).startswith(F.col("prefix"))))
+    return (hit.groupBy(*urls.columns)
+            .agg(F.max("_hit").alias("disallowed")))

@@ -1,0 +1,92 @@
+"""Robots gating: meta-noindex predicate and robots.txt group parsing —
+fixed-expectation pins (not generated from the shared constants, so a
+constant-level bug can't hide)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.functions.robots import (
+    crawl_delays,
+    match_disallowed,
+    meta_robots_noindex,
+    parse_robots_rules,
+)
+
+
+def test_meta_noindex_cases(spark):
+    cases = [
+        (1, '<head><meta name="robots" content="noindex"></head>', True),
+        (2, "<META NAME='ROBOTS' CONTENT='NOINDEX, nofollow'>", True),
+        # reversed attribute order
+        (3, '<meta content="noindex" name=robots>', True),
+        (4, '<meta name=robots content="noindex,nofollow">', True),
+        # nofollow alone is not noindex
+        (5, '<meta name="robots" content="nofollow">', False),
+        # other meta names don't gate
+        (6, '<meta name="description" content="noindex stuff">', False),
+        # the word in body text is not a directive
+        (7, "<body>please noindex this</body>", False),
+        (8, "<head></head><body>x</body>", False),
+        # multiline tag
+        (9, '<meta name="robots"\n content="a, noindex">', True),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases],
+                               "id long, html string")
+    got = {r.id: r.ni for r in
+           df.select("id", meta_robots_noindex(F.col("html"))
+                     .alias("ni")).collect()}
+    assert got == {i: want for i, _, want in cases}
+
+
+ROBOTS = [
+    ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
+           "Crawl-delay: 2"),
+    # consecutive UA lines form ONE group; * among them applies
+    ("h1", "User-agent: googlebot\nUser-agent: *\nDisallow: /admin"),
+    # non-star group: its rules never apply to us
+    ("h2", "User-agent: googlebot\nDisallow: /only-google"),
+    # empty Disallow = allow-all marker, dropped; fractional delay
+    ("h3", "# top comment\nUser-agent: *\nDisallow:\nCrawl-delay: 0.5"),
+    # CRLF endings + trailing comment stripped
+    ("h4", "User-agent: *\r\nDisallow: /a # trailing\r\n"),
+    # two separate star groups accumulate; later non-star group ignored
+    ("h5", "User-agent: *\nDisallow: /x\n\nUser-agent: bing\n"
+           "Disallow: /bing-only\n\nUser-agent: *\nDisallow: /y"),
+    ("h6", ""),
+]
+
+
+def _robots_df(spark):
+    return spark.createDataFrame(ROBOTS, "host string, robots_txt string")
+
+
+def test_parse_robots_rules(spark):
+    got = {(r.host, r.prefix)
+           for r in parse_robots_rules(_robots_df(spark)).collect()}
+    assert got == {("h0", "/private"), ("h0", "/tmp"), ("h1", "/admin"),
+                   ("h4", "/a"), ("h5", "/x"), ("h5", "/y")}
+
+
+def test_crawl_delays(spark):
+    got = {(r.host, r.crawl_delay)
+           for r in crawl_delays(_robots_df(spark)).collect()}
+    assert got == {("h0", 2.0), ("h3", 0.5)}
+
+
+def test_match_disallowed_broadcast(spark):
+    rules = parse_robots_rules(_robots_df(spark))
+    urls = spark.createDataFrame(
+        [(1, "h0", "/private/page"), (2, "h0", "/public/page"),
+         (3, "h1", "/admin/x"), (4, "h2", "/only-google/x"),
+         (5, "h4", "/about"), (6, "h9", "/anything")],
+        "id long, host string, path string")
+    out = match_disallowed(urls, rules)
+    got = {r.id: r.disallowed for r in out.collect()}
+    # h4 rule '/a' prefix-matches '/about' (documented: literal prefixes,
+    # no path-segment awareness); h2's google-only rule never applies;
+    # unknown host h9 is allowed
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
