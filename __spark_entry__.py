@@ -748,22 +748,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_devnagari_spark.operators.multimodal import MEDIA_SCHEMA
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-        def to_png(batches):
+        def to_media(batches):
             import pandas as pd
 
             from ocr_devnagari_spark.codecs import encode_png
+            from ocr_devnagari_spark.jpegcodec import encode_jpeg
             for pdf in batches:
                 recs = []
                 for did, text in zip(pdf["doc_id"], pdf["text"]):
                     raw = (text or "").encode()[:64].ljust(64, b"\0")
+                    px = [(v,) for v in raw]
+                    if did % 2:                   # half the corpus is JPEG
+                        payload = encode_jpeg(px, 8, 8, 1, quant=1)
+                        mime = "image/jpeg"
+                    else:
+                        payload = encode_png(px, 8, 8, 1)
+                        mime = "image/png"
                     recs.append({
                         "media_id": f"m{did}", "kind": "image",
-                        "payload": encode_png([(v,) for v in raw], 8, 8, 1),
-                        "mime": "image/png"})
+                        "payload": payload, "mime": mime})
                 yield pd.DataFrame(
                     recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
-        media = d.mapInPandas(to_png, MEDIA_SCHEMA)
+        media = d.mapInPandas(to_media, MEDIA_SCHEMA)
         return image_feature_stage(media, fake=False).select(
             "media_id", "width", "height", "n_bytes", "phash")
     q["multimodal_real_decode"] = multimodal_real_decode

@@ -3,10 +3,11 @@ stages on formats the standard library can handle.
 
 This container ships no PIL/ffmpeg, but that does not make every decode
 fake: PNG is zlib + per-scanline filters (both stdlib), WAV is the
-``wave`` module. These decoders give ``image_feature_stage``/
-``audio_feature_stage`` a genuine codec for the two formats; JPEG/video
-still raise ``NotImplementedError`` at the clearly-marked plug-in point
-(those need external libs).
+``wave`` module, and baseline JPEG is the from-scratch ITU T.81 decoder
+in ``jpegcodec.py``. These give ``image_feature_stage``/
+``audio_feature_stage`` genuine codecs for the dominant web formats;
+video (and exotic JPEG modes — progressive, arithmetic) still
+NULL-fallback at the clearly-marked plug-in point.
 
 Everything here is per-row pure Python BY DESIGN: it runs inside the
 Arrow-batched ``mapInPandas`` stages, which is exactly where per-payload
@@ -184,12 +185,17 @@ def _gray(px: tuple) -> int:
 
 
 def image_features(payload: bytes, n_features: int = 16) -> dict:
-    """Real decode → featurize for PNG payloads: true dimensions, an 8×8
-    average-hash (the standard aHash construction: block-mean downsample,
-    bit = mean-of-block > global mean), and an ``n_features``-bin
-    normalized grayscale histogram. Raises ``UnsupportedMediaError`` for
-    non-PNG bytes (JPEG etc. need external libs)."""
-    img = decode_png(payload)
+    """Real decode → featurize for PNG and baseline-JPEG payloads
+    (signature dispatch): true dimensions, an 8×8 average-hash (the
+    standard aHash construction: block-mean downsample, bit =
+    mean-of-block > global mean), and an ``n_features``-bin normalized
+    grayscale histogram. Raises ``UnsupportedMediaError`` for other
+    formats (progressive JPEG, video containers, …)."""
+    if payload[:2] == b"\xFF\xD8":
+        from .jpegcodec import decode_jpeg
+        img = decode_jpeg(payload)
+    else:
+        img = decode_png(payload)
     w, h = img["width"], img["height"]
     gray = [_gray(px) for px in img["pixels"]]
     # 8×8 block means (aHash downsample; blocks cover the image exactly

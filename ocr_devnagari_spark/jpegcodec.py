@@ -1,0 +1,496 @@
+"""Baseline JPEG codec from the public spec (ITU-T T.81 / ISO 10918-1),
+pure stdlib + numpy — closes the engine's last env-blocked media format:
+web images are overwhelmingly JPEG, and ``image_feature_stage(fake=
+False)`` previously NULL-fell-back on all of them.
+
+Decoder subset (the "baseline sequential DCT, Huffman" process every
+web JPEG supports): SOF0, 8-bit samples, 1 or 3 components, any h/v
+sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0 …), restart intervals,
+0xFF00 byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit and
+hierarchical modes raise ``UnsupportedMediaError`` — the mapInPandas
+callers NULL-fallback on that one type, same contract as the PNG codec.
+
+Encoder subset (tests + corpus tooling, mirroring ``encode_png``):
+grayscale or 4:4:4 YCbCr, one scan, Annex-K standard Huffman tables,
+caller-supplied flat quantization (default all-ones ≈ "quality 100":
+the FDCT→IDCT roundtrip is then exact up to float rounding, which is
+what lets the tests pin the decoder arithmetic to ±1 without an
+external reference codec).
+
+Everything here is per-payload imperative work that belongs inside the
+Arrow-batched media stages; numpy (baked into the workers) carries the
+8×8 DCT arithmetic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# single source of truth for the "not decodable here" contract
+from .codecs import UnsupportedMediaError
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# 8×8 DCT-II basis: C[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _cu = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _C[_u, _x] = 0.5 * _cu * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+# --- Annex K.3 standard Huffman tables (public spec constants) ----------
+_STD_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+_STD_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _build_decode_table(bits: list, values: list) -> dict:
+    """(length, code) → symbol, per T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list, values: list) -> dict:
+    """symbol → (code, length) — the encoder-side view of the same
+    assignment."""
+    return {sym: (code, length)
+            for (length, code), sym in
+            _build_decode_table(bits, values).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-stuffing removal; stops (raises) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedMediaError("truncated entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise UnsupportedMediaError("truncated after 0xFF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1                  # stuffed byte
+                else:
+                    raise UnsupportedMediaError(
+                        f"marker 0xFF{nxt:02X} inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        # tolerate pad bits already consumed; expect FF Dn next
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+        else:
+            raise UnsupportedMediaError("missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes, max_pixels: int | None = None) -> dict:
+    """Baseline JPEG → {width, height, channels, pixels} (same contract
+    as ``codecs.decode_png``: pixels = row-major list of per-pixel
+    tuples). Anything outside the baseline subset or malformed raises
+    ``UnsupportedMediaError``."""
+    from .codecs import MAX_PIXELS
+    if max_pixels is None:
+        max_pixels = MAX_PIXELS
+    if payload[:2] != b"\xFF\xD8":
+        raise UnsupportedMediaError("not a JPEG SOI")
+    try:
+        return _decode(payload, max_pixels)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, IndexError, KeyError, ValueError,
+            ZeroDivisionError, MemoryError) as e:
+        raise UnsupportedMediaError(f"malformed JPEG: {e}") from e
+
+
+def _decode(data: bytes, max_pixels: int) -> dict:
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedMediaError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:                         # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        seg = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:                         # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if prec else 1)
+                raw = seg[i:i + n]
+                i += n
+                vals = (struct.unpack(f">{64}H", raw) if prec
+                        else list(raw))
+                tab = np.zeros(64)
+                for z, v in enumerate(vals):
+                    tab[ZIGZAG[z]] = v
+                qt[tid] = tab.reshape(8, 8)
+        elif marker == 0xC4:                       # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(seg[i + 17:i + 17 + nv])
+                i += 17 + nv
+                tbl = _build_decode_table(bits, values)
+                (huff_ac if cls else huff_dc)[tid] = tbl
+        elif marker == 0xC0 or marker == 0xC1:     # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3):
+                raise UnsupportedMediaError(
+                    f"JPEG subset: 8-bit 1/3-component (got prec={prec} "
+                    f"nc={nc})")
+            if w * h > max_pixels:
+                raise UnsupportedMediaError(
+                    f"JPEG {w}x{h} exceeds the {max_pixels}-pixel bound")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"JPEG subset: baseline sequential only (SOF{marker - 0xC0})")
+        elif marker == 0xDD:                       # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                       # SOS → entropy data
+            if frame is None:
+                raise UnsupportedMediaError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cs, tables = seg[1 + 2 * si:3 + 2 * si]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(data, pos, frame, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+        # APPn/COM/DNL etc.: skipped
+    raise UnsupportedMediaError("no SOS scan found")
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                 qt: dict, huff_dc: dict, huff_ac: dict,
+                 restart_interval: int) -> dict:
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise UnsupportedMediaError("JPEG subset: sampling factors 1-2")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+              for c in comps]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_idx = my * mcux + mx
+            if restart_interval and mcu_idx and \
+                    mcu_idx % restart_interval == 0:
+                reader.align_to_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = _decode_block(reader, huff_dc[td],
+                                             huff_ac[ta])
+                        pred[ci] += coef[0]
+                        coef[0] = pred[ci]
+                        zz = np.zeros(64)
+                        for z in range(64):
+                            zz[ZIGZAG[z]] = coef[z]
+                        block = _idct2(zz.reshape(8, 8) * q) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        pixels = [(int(v),) for v in gray.reshape(-1)]
+        return {"width": w, "height": h, "channels": 1, "pixels": pixels}
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                  255).astype(np.uint8).reshape(-1, 3)
+    pixels = [tuple(int(v) for v in px) for px in rgb]
+    return {"width": w, "height": h, "channels": 3, "pixels": pixels}
+
+
+def _decode_block(reader: _BitReader, dc_tbl: dict,
+                  ac_tbl: dict) -> np.ndarray:
+    coef = np.zeros(64)
+    t = _huff(reader, dc_tbl)
+    coef[0] = _extend(reader.bits(t), t) if t else 0
+    k = 1
+    while k < 64:
+        rs = _huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                            # ZRL: 16 zeros
+                k += 16
+                continue
+            break                                  # EOB
+        k += r
+        if k > 63:
+            raise UnsupportedMediaError("AC run past block end")
+        coef[k] = _extend(reader.bits(s), s)
+        k += 1
+    return coef
+
+
+def _huff(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedMediaError("invalid huffman code")
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale / 4:4:4, std Huffman, flat quant)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)          # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | \
+                ((1 << (8 - self.nbits)) - 1)      # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(wr: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_tbl: dict, ac_tbl: dict) -> int:
+    dc = int(coef[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_tbl[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coef[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]                # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tbl[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tbl[0x00]                    # EOB
+        wr.write(code, ln)
+    return dc
+
+
+def encode_jpeg(pixels: list, width: int, height: int,
+                channels: int = 1, quant: int = 1) -> bytes:
+    """Minimal baseline encoder: ``pixels`` as in ``decode_png``;
+    ``quant`` = the flat quantization value for every coefficient
+    (1 ≈ lossless-up-to-float-rounding, bigger = lossier)."""
+    if channels not in (1, 3):
+        raise ValueError("encoder subset: grayscale or RGB")
+    arr = np.array([list(px) for px in pixels],
+                   dtype=np.float64).reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [arr[..., 0]]
+    qtab = np.full((8, 8), float(quant))
+    qzz = bytes(int(quant) & 0xFF for _ in range(64))
+    dc_l = _build_encode_table(*_STD_DC_LUMA)
+    ac_l = _build_encode_table(*_STD_AC_LUMA)
+    dc_c = _build_encode_table(*_STD_DC_CHROMA)
+    ac_c = _build_encode_table(*_STD_AC_CHROMA)
+    bw, bh = -(-width // 8), -(-height // 8)
+    wr = _BitWriter()
+    preds = [0] * channels
+    for my in range(bh):
+        for mx in range(bw):
+            for ci, plane in enumerate(planes):
+                y0, x0 = my * 8, mx * 8
+                block = np.full((8, 8), plane[min(y0, height - 1),
+                                              min(x0, width - 1)])
+                tile = plane[y0:y0 + 8, x0:x0 + 8]
+                block[:tile.shape[0], :tile.shape[1]] = tile
+                # edge replicate: repeat last row/col into the pad
+                for yy in range(tile.shape[0], 8):
+                    block[yy, :] = block[tile.shape[0] - 1, :]
+                for xx in range(tile.shape[1], 8):
+                    block[:, xx] = block[:, tile.shape[1] - 1]
+                coefs = np.rint(_fdct2(block - 128.0) / qtab)
+                zz = np.array([coefs.reshape(-1)[ZIGZAG[z]]
+                               for z in range(64)])
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                preds[ci] = _encode_block(wr, zz, preds[ci], dct, act)
+    body = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, b"\x00" + qzz)
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + qzz)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+            (0, 0, _STD_DC_LUMA), (1, 0, _STD_AC_LUMA),
+            (0, 1, _STD_DC_CHROMA), (1, 1, _STD_AC_CHROMA))[
+                :4 if channels == 3 else 2]:
+        out += seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
+                   + bytes(vals))
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xFF\xD9"
+    return bytes(out)

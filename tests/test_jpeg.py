@@ -1,0 +1,234 @@
+"""Baseline JPEG codec: roundtrip pins (flat quant=1 → ±1), an
+encoder-INDEPENDENT hand-assembled bitstream fixture, subsampled and
+restart-interval streams, and the NULL-fallback contract for
+out-of-subset payloads."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_devnagari_spark.codecs import UnsupportedMediaError, image_features
+from ocr_devnagari_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _gradient_gray(w, h):
+    return [((x * 16 + y * 3) % 256,) for y in range(h) for x in range(w)]
+
+
+def test_roundtrip_gray_q1_within_1():
+    w, h = 16, 12
+    px = _gradient_gray(w, h)
+    dec = decode_jpeg(encode_jpeg(px, w, h, channels=1, quant=1))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    assert max(abs(a[0] - b[0])
+               for a, b in zip(px, dec["pixels"])) <= 1
+
+
+def test_roundtrip_rgb_q1_within_1():
+    w, h = 16, 12
+    px = [((x * 13) % 256, (y * 17) % 256, ((x + y) * 7) % 256)
+          for y in range(h) for x in range(w)]
+    dec = decode_jpeg(encode_jpeg(px, w, h, channels=3, quant=1))
+    assert dec["channels"] == 3
+    assert max(abs(a[i] - b[i]) for a, b in zip(px, dec["pixels"])
+               for i in range(3)) <= 1
+
+
+def test_solid_color_exact_and_non_multiple_of_8():
+    # 10x6 forces edge padding in the encoder and cropping in the decoder
+    px = [(200,)] * 60
+    dec = decode_jpeg(encode_jpeg(px, 10, 6, 1, quant=1))
+    assert (dec["width"], dec["height"]) == (10, 6)
+    assert all(p == (200,) for p in dec["pixels"])
+
+
+def test_lossy_quant_still_close():
+    w, h = 16, 16
+    px = _gradient_gray(w, h)
+    dec = decode_jpeg(encode_jpeg(px, w, h, 1, quant=8))
+    err = np.mean([abs(a[0] - b[0]) for a, b in zip(px, dec["pixels"])])
+    assert err < 8          # lossy but sane
+
+
+def test_hand_assembled_bitstream_fixture():
+    """A byte-literal 8×8 solid-gray baseline JPEG assembled from the
+    spec BY HAND (std Annex-K tables, flat quant 1): DC coeff 576 =
+    category 10 → huffman 11111110 + magnitude 1001000000, then EOB
+    1010, padded with 1s. Decoding it pins the marker parser, table
+    builder, bit reader and IDCT against the public spec with NO shared
+    code path with the encoder."""
+    qzz = bytes([1] * 64)
+    dqt = b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz
+    sof = (b"\xFF\xC0" + struct.pack(">H", 11)
+           + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    from ocr_devnagari_spark.jpegcodec import _STD_AC_LUMA, _STD_DC_LUMA
+    dht_dc = (b"\xFF\xC4"
+              + struct.pack(">H", 2 + 1 + 16 + len(_STD_DC_LUMA[1]))
+              + b"\x00" + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
+    dht_ac = (b"\xFF\xC4"
+              + struct.pack(">H", 2 + 1 + 16 + len(_STD_AC_LUMA[1]))
+              + b"\x10" + bytes(_STD_AC_LUMA[0]) + bytes(_STD_AC_LUMA[1]))
+    sos = (b"\xFF\xDA" + struct.pack(">H", 8) + b"\x01"
+           + bytes([1, 0x00]) + b"\x00\x3F\x00")
+    # 11111110 1001000000 1010 + 11 pad = FE 90 2B FF(stuffed 00)... :
+    # 22 data bits + 2 pad-1 bits = 3 bytes: 11111110 10010000 001010 11
+    entropy = bytes([0b11111110, 0b10010000, 0b00101011])
+    jpg = (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + sos + entropy
+           + b"\xFF\xD9")
+    dec = decode_jpeg(jpg)
+    assert (dec["width"], dec["height"], dec["channels"]) == (8, 8, 1)
+    assert all(p == (200,) for p in dec["pixels"])
+
+
+def test_subsampled_420_stream():
+    """4:2:0 decode: Y at 2×2 sampling, chroma at 1×1 — built from the
+    encoder's block primitives (one 16×16 MCU: 4 Y blocks in raster
+    order, then Cb, Cr), pinning the MCU interleave + upsample path the
+    4:4:4 encoder never exercises."""
+    from ocr_devnagari_spark.jpegcodec import (
+        _STD_AC_CHROMA,
+        _STD_AC_LUMA,
+        _STD_DC_CHROMA,
+        _STD_DC_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        _encode_block,
+        _fdct2,
+    )
+
+    w = h = 16
+    # luma gradient, flat chroma (max upsample error = rounding only)
+    r = np.zeros((h, w))
+    for y in range(h):
+        for x in range(w):
+            r[y, x] = (x * 8 + y * 4) % 256
+    ycc = np.stack([r, np.full((h, w), 140.0),
+                    np.full((h, w), 90.0)], axis=-1)
+
+    def blocks_of(plane):
+        out = []
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                out.append(plane[by * 8:(by + 1) * 8,
+                                 bx * 8:(bx + 1) * 8])
+        return out
+
+    yb = blocks_of(ycc[..., 0])
+    cb = ycc[::2, ::2, 1]                      # box-downsampled chroma
+    cr = ycc[::2, ::2, 2]
+    wr = _BitWriter()
+    dc_l = _build_encode_table(*_STD_DC_LUMA)
+    ac_l = _build_encode_table(*_STD_AC_LUMA)
+    dc_c = _build_encode_table(*_STD_DC_CHROMA)
+    ac_c = _build_encode_table(*_STD_AC_CHROMA)
+
+    def emit(block, pred, dct, act):
+        coefs = np.rint(_fdct2(block - 128.0))
+        zz = np.array([coefs.reshape(-1)[ZIGZAG[z]] for z in range(64)])
+        return _encode_block(wr, zz, pred, dct, act)
+
+    pred_y = 0
+    for b in yb:                               # raster = MCU order at 2x2
+        pred_y = emit(b, pred_y, dc_l, ac_l)
+    emit(cb, 0, dc_c, ac_c)
+    emit(cr, 0, dc_c, ac_c)
+    body = wr.flush()
+
+    qzz = bytes([1] * 64)
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x01" + qzz
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, tid, (bits, vals) in ((0, 0, _STD_DC_LUMA),
+                                   (1, 0, _STD_AC_LUMA),
+                                   (0, 1, _STD_DC_CHROMA),
+                                   (1, 1, _STD_AC_CHROMA)):
+        seg = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+    out += body + b"\xFF\xD9"
+
+    dec = decode_jpeg(bytes(out))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    # reconstruct expected RGB from the flat-chroma YCbCr
+    got = np.array(dec["pixels"], dtype=np.float64).reshape(h, w, 3)
+    want_r = r + 1.402 * (90.0 - 128.0)
+    want_g = r - 0.344136 * (140.0 - 128.0) - 0.714136 * (90.0 - 128.0)
+    want_b = r + 1.772 * (140.0 - 128.0)
+    want = np.clip(np.rint(np.stack([want_r, want_g, want_b], axis=-1)),
+                   0, 255)
+    assert np.abs(got - want).max() <= 2
+
+
+def test_restart_interval_stream():
+    """DRI/RSTn: three MCUs, restart every one — DC predictors reset at
+    each marker, so a decoder that ignores either produces garbage."""
+    from ocr_devnagari_spark.jpegcodec import (
+        _STD_AC_LUMA,
+        _STD_DC_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        _encode_block,
+        _fdct2,
+    )
+
+    vals = [64, 128, 192]
+    dc_l = _build_encode_table(*_STD_DC_LUMA)
+    ac_l = _build_encode_table(*_STD_AC_LUMA)
+    body = bytearray()
+    for i, v in enumerate(vals):
+        wr = _BitWriter()
+        coefs = np.rint(_fdct2(np.full((8, 8), float(v)) - 128.0))
+        zz = np.array([coefs.reshape(-1)[ZIGZAG[z]] for z in range(64)])
+        _encode_block(wr, zz, 0, dc_l, ac_l)       # pred RESET per MCU
+        body += wr.flush()
+        if i < len(vals) - 1:
+            body += bytes([0xFF, 0xD0 + i])
+    qzz = bytes([1] * 64)
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz
+    out += b"\xFF\xDD" + struct.pack(">HH", 4, 1)  # DRI: interval 1
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, (bits, vs) in ((0, _STD_DC_LUMA), (1, _STD_AC_LUMA)):
+        seg = bytes([cls << 4]) + bytes(bits) + bytes(vs)
+        out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
+    sos = b"\x01" + bytes([1, 0x00]) + b"\x00\x3F\x00"
+    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+    out += body + b"\xFF\xD9"
+
+    dec = decode_jpeg(bytes(out))
+    assert (dec["width"], dec["height"]) == (24, 8)
+    px = np.array([p[0] for p in dec["pixels"]]).reshape(8, 24)
+    for i, v in enumerate(vals):
+        assert np.abs(px[:, i * 8:(i + 1) * 8] - v).max() <= 1
+
+
+def test_out_of_subset_raises():
+    px = _gradient_gray(8, 8)
+    good = encode_jpeg(px, 8, 8, 1, quant=1)
+    # progressive: flip SOF0 -> SOF2
+    prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    with pytest.raises(UnsupportedMediaError, match="baseline"):
+        decode_jpeg(prog)
+    # truncated entropy data
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(good[:len(good) - 12])
+    with pytest.raises(UnsupportedMediaError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_image_features_dispatches_jpeg():
+    px = _gradient_gray(16, 16)
+    f = image_features(encode_jpeg(px, 16, 16, 1, quant=1))
+    assert (f["width"], f["height"]) == (16, 16)
+    assert isinstance(f["phash"], int)
+    assert abs(sum(f["features"]) - 1.0) < 1e-6
