@@ -126,20 +126,22 @@ def _messy_url() -> F.Column:
     (case, default ports, tracking params, param order, fragments,
     userinfo, non-URL passthrough) has signal on the driver corpus."""
     sid = F.col("doc_id").cast("string")
-    return (F.when(F.col("doc_id") % 6 == 0,
+    return (F.when(F.col("doc_id") % 7 == 0,
                    F.concat(F.lit("HTTP://WWW.Example.COM:80/a/"), sid,
                             F.lit("?utm_source=x&b=2&a=1#frag")))
-            .when(F.col("doc_id") % 6 == 1,
+            .when(F.col("doc_id") % 7 == 1,
                   F.concat(F.lit("https://News.site.org:443/p/"), sid,
                            F.lit("/")))
-            .when(F.col("doc_id") % 6 == 2,
+            .when(F.col("doc_id") % 7 == 2,
                   F.concat(F.lit("https://user@Sub.Example.com/x/"), sid))
-            .when(F.col("doc_id") % 6 == 3,
+            .when(F.col("doc_id") % 7 == 3,
                   F.concat(F.lit("http://example.com:8080/y?z=1&gclid="),
                            sid, F.lit("&y=2")))
-            .when(F.col("doc_id") % 6 == 4,
+            .when(F.col("doc_id") % 7 == 4,
                   F.concat(F.lit("https://example.com/p%61th/%7e"), sid,
                            F.lit("?q=%41%3f")))
+            .when(F.col("doc_id") % 7 == 5,
+                  F.concat(F.lit("https://example.com/a/./b/../"), sid))
             .otherwise(F.concat(F.lit("not a url "), sid)))
 
 def _synthetic_html() -> F.Column:
@@ -195,7 +197,7 @@ _SYNTHETIC_PATH_SQL = (
 # CRLF, comments, empty-Disallow and non-star groups all have signal
 _ROBOTS_CORPUS = [
     ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
-           "Crawl-delay: 2"),
+           "Allow: /private/p1\nCrawl-delay: 2"),
     ("h1", "User-agent: googlebot\nUser-agent: *\nDisallow: /admin"),
     ("h2", "User-agent: googlebot\nDisallow: /only-google"),
     ("h3", "# comment\nUser-agent: *\nDisallow:\nCrawl-delay: 0.5"),
@@ -218,16 +220,18 @@ def _robots_corpus_sql() -> str:
 
 
 _MESSY_URL_SQL = (
-    "CASE WHEN doc_id % 6 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
     "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
-    "WHEN doc_id % 6 = 1 THEN 'https://News.site.org:443/p/' || "
+    "WHEN doc_id % 7 = 1 THEN 'https://News.site.org:443/p/' || "
     "CAST(doc_id AS VARCHAR) || '/' "
-    "WHEN doc_id % 6 = 2 THEN 'https://user@Sub.Example.com/x/' || "
+    "WHEN doc_id % 7 = 2 THEN 'https://user@Sub.Example.com/x/' || "
     "CAST(doc_id AS VARCHAR) "
-    "WHEN doc_id % 6 = 3 THEN 'http://example.com:8080/y?z=1&gclid=' || "
+    "WHEN doc_id % 7 = 3 THEN 'http://example.com:8080/y?z=1&gclid=' || "
     "CAST(doc_id AS VARCHAR) || '&y=2' "
-    "WHEN doc_id % 6 = 4 THEN 'https://example.com/p%61th/%7e' || "
+    "WHEN doc_id % 7 = 4 THEN 'https://example.com/p%61th/%7e' || "
     "CAST(doc_id AS VARCHAR) || '?q=%41%3f' "
+    "WHEN doc_id % 7 = 5 THEN 'https://example.com/a/./b/../' || "
+    "CAST(doc_id AS VARCHAR) "
     "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END")
 
 
@@ -456,8 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def robots_gate_stats(spark, sf_dir):
         from ocr_devnagari_spark.functions.robots import (
-            match_disallowed,
-            parse_robots_rules,
+            match_policy,
+            parse_robots_policies,
         )
         d = _t(spark, sf_dir, "documents")
         urls = d.select("doc_id",
@@ -465,13 +469,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  (F.col("doc_id") % 6).cast("string"))
                         .alias("host"),
                         _synthetic_path().alias("path"))
-        rules = parse_robots_rules(_robots_corpus_df(spark))
-        m = match_disallowed(urls, rules)
+        policies = parse_robots_policies(_robots_corpus_df(spark))
+        m = match_policy(urls, policies)
         return (m.groupBy("host")
                 .agg(F.count("*").alias("n_urls"),
                      F.sum(F.col("disallowed").cast("long"))
                      .alias("n_disallowed")))
     q["robots_gate_stats"] = robots_gate_stats
+
+    def robots_crawl_delays(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import crawl_delays
+        return crawl_delays(_robots_corpus_df(spark))
+    q["robots_crawl_delays"] = robots_crawl_delays
 
     # ---- dedup: exact groups over planted clones ----
     def dedup_exact(spark, sf_dir):
@@ -992,6 +1001,23 @@ def _percent_norm_sql(u: str) -> str:
     return f"CASE WHEN contains({u}, '%') THEN {c} ELSE {u} END"
 
 
+def _dot_segments_sql(p: str) -> str:
+    """DuckDB mirror of functions.url.resolve_dot_segments — same pass
+    order and counts, generated from the same DOT_SEG/DOT_DEPTH
+    constants."""
+    from ocr_devnagari_spark.functions.url import DOT_DEPTH, DOT_SEG
+    seg = _sq(DOT_SEG)
+    c = p
+    for _ in range(3):
+        c = f"regexp_replace({c}, '/\\./', '/', 'g')"
+    for _ in range(DOT_DEPTH):
+        c = f"regexp_replace({c}, '/{seg}/\\.\\./', '/', 'g')"
+        c = f"regexp_replace({c}, '/{seg}/\\.\\.$', '/', 'g')"
+    c = f"regexp_replace({c}, '/\\.$', '/', 'g')"
+    return (f"CASE WHEN regexp_matches({p}, '/\\.\\.?(/|$)') "
+            f"THEN {c} ELSE {p} END")
+
+
 def _url_canon_sql(u: str) -> str:
     """DuckDB mirror of functions.url.canonicalize_url, generated from
     the same regex constants."""
@@ -1004,7 +1030,8 @@ def _url_canon_sql(u: str) -> str:
     keep_port = (f"({port} != '' AND NOT (({scheme} = 'http' AND {port} = "
                  f"'80') OR ({scheme} = 'https' AND {port} = '443')))")
     rawpath = f"regexp_extract({u}, '{_sq(_U_PATH)}', 1)"
-    path = f"CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END"
+    path = f"(CASE WHEN {rawpath} = '' THEN '/' ELSE {rawpath} END)"
+    path = f"({_dot_segments_sql(path)})"
     qparts = (f"list_filter(string_split(regexp_extract({u}, "
               f"'{_sq(_U_QUERY)}', 1), '&'), "
               f"p -> p != '' AND NOT regexp_matches(p, '{_sq(_U_TRACK)}'))")
@@ -1050,21 +1077,41 @@ _rules AS (
   SELECT DISTINCT g.host, regexp_extract(g.line, '{{dis}}', 1) AS prefix
   FROM _grp g JOIN _star s ON s.host = g.host AND s.grp = g.grp
   WHERE s.star AND regexp_matches(g.line, '{{dis}}')
-    AND regexp_extract(g.line, '{{dis}}', 1) != '')
+    AND regexp_extract(g.line, '{{dis}}', 1) != ''),
+_policies AS (
+  SELECT DISTINCT g.host,
+         CASE WHEN regexp_matches(g.line, '{{allow}}')
+              THEN regexp_extract(g.line, '{{allow}}', 1)
+              ELSE regexp_extract(g.line, '{{dis}}', 1) END AS prefix,
+         regexp_matches(g.line, '{{allow}}') AS allow
+  FROM _grp g JOIN _star s ON s.host = g.host AND s.grp = g.grp
+  WHERE s.star AND (regexp_matches(g.line, '{{dis}}')
+                    OR regexp_matches(g.line, '{{allow}}'))
+    AND (CASE WHEN regexp_matches(g.line, '{{allow}}')
+              THEN regexp_extract(g.line, '{{allow}}', 1)
+              ELSE regexp_extract(g.line, '{{dis}}', 1) END) != '')
 """
 
 
+def _robots_body_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import (
+        ALLOW_LINE_RE,
+        DISALLOW_LINE_RE,
+    )
+    return _robots_grp_sql().format(dis=_sq(DISALLOW_LINE_RE),
+                                    allow=_sq(ALLOW_LINE_RE))
+
+
 def _robots_rules_sql() -> str:
-    from ocr_devnagari_spark.functions.robots import DISALLOW_LINE_RE
-    body = _robots_grp_sql().format(dis=_sq(DISALLOW_LINE_RE))
-    return f"WITH {body} SELECT host, prefix FROM _rules"
+    return f"WITH {_robots_body_sql()} SELECT host, prefix FROM _rules"
 
 
 def _robots_gate_sql() -> str:
-    from ocr_devnagari_spark.functions.robots import DISALLOW_LINE_RE
-    body = _robots_grp_sql().format(dis=_sq(DISALLOW_LINE_RE))
+    # RFC 9309 precedence, same integer argmax as match_policy:
+    # winning rule = max(2*len(prefix) + allow); disallowed when a rule
+    # matched and the winner is a Disallow (even score)
     return f"""
-WITH {body},
+WITH {_robots_body_sql()},
 _urls AS (
   SELECT doc_id, 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
          {_SYNTHETIC_PATH_SQL} AS path
@@ -1073,12 +1120,27 @@ _m AS (
   SELECT u.doc_id, u.host,
          max(CASE WHEN r.prefix IS NOT NULL
                    AND starts_with(u.path, r.prefix)
-             THEN 1 ELSE 0 END) AS dis
-  FROM _urls u LEFT JOIN _rules r ON r.host = u.host
+             THEN 2 * length(r.prefix) + CAST(r.allow AS INT) END) AS score
+  FROM _urls u LEFT JOIN _policies r ON r.host = u.host
   GROUP BY u.doc_id, u.host, u.path)
 SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
-       CAST(sum(dis) AS BIGINT) AS n_disallowed
+       CAST(sum(CASE WHEN score IS NOT NULL AND score % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_disallowed
 FROM _m GROUP BY host
+"""
+
+
+def _robots_delays_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import CRAWL_DELAY_LINE_RE
+    cd = _sq(CRAWL_DELAY_LINE_RE)
+    return f"""
+WITH {_robots_body_sql()}
+SELECT g.host,
+       max(CAST(regexp_extract(g.line, '{cd}', 1) AS DOUBLE))
+       AS crawl_delay
+FROM _grp g JOIN _star s ON s.host = g.host AND s.grp = g.grp
+WHERE s.star AND regexp_matches(g.line, '{cd}')
+GROUP BY g.host
 """
 
 
@@ -1237,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_noindex": _robots_noindex_sql(),
         "robots_rules": _robots_rules_sql(),
         "robots_gate_stats": _robots_gate_sql(),
+        "robots_crawl_delays": _robots_delays_sql(),
         # bucketing is a physical property — the logical result is a
         # plain 1:1 self-join ≡ one aggregation over documents
         "bucketed_join_stats": (

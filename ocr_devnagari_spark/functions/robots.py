@@ -19,13 +19,17 @@ A compliant training-data pipeline drops pages whose authors opted out:
 - ``match_disallowed(urls, rules)`` — URL × rule prefix match via a
   broadcast join (the rules table is tiny next to a crawl frontier).
 
-Documented simplifications: no ``Allow`` precedence (RFC 9309 longest-
-match between Allow and Disallow — rare in practice and needs per-URL
-argmax over rule lengths; the conservative reading here treats any
-matching Disallow as disallowed), no ``$``/``*`` wildcards inside rule
-paths (matched literally as prefixes), and agent-specific groups other
-than ``*`` are ignored (a trainer's crawler should follow the generic
-group unless it announces a product token).
+``Allow`` precedence is implemented per RFC 9309 §2.2.2: among all
+rules whose prefix matches the URL path, the LONGEST wins; on a length
+tie Allow beats Disallow (``parse_robots_policies`` +
+``match_policy`` — the argmax is an integer ``2·len + is_allow`` max,
+portable to the DuckDB oracle). ``match_disallowed`` keeps the
+conservative Disallow-only reading for callers that want it.
+
+Documented simplifications: no ``$``/``*`` wildcards inside rule paths
+(matched literally as prefixes), and agent-specific groups other than
+``*`` are ignored (a trainer's crawler should follow the generic group
+unless it announces a product token).
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ META_NOINDEX_REV_RE = (
 
 UA_LINE_RE = r"(?i)^user-agent\s*:\s*(.*)$"
 DISALLOW_LINE_RE = r"(?i)^disallow\s*:\s*(\S*)"
+ALLOW_LINE_RE = r"(?i)^allow\s*:\s*(\S*)"
 CRAWL_DELAY_LINE_RE = r"(?i)^crawl-delay\s*:\s*([0-9.]+)"
 
 
@@ -96,6 +101,43 @@ def parse_robots_rules(df: DataFrame, host_col: str = "host",
             .select("host", prefix.alias("prefix"))
             .filter(F.col("prefix") != "")
             .distinct())
+
+
+def parse_robots_policies(df: DataFrame, host_col: str = "host",
+                          body_col: str = "robots_txt") -> DataFrame:
+    """(host, prefix, allow) — Disallow AND Allow rules for the ``*``
+    group(s); empty values (no-op markers) dropped in both kinds."""
+    g = _star_groups(_robots_lines(df, host_col, body_col))
+    is_allow = F.col("line").rlike(ALLOW_LINE_RE)
+    prefix = F.when(is_allow,
+                    F.regexp_extract("line", ALLOW_LINE_RE, 1)) \
+        .otherwise(F.regexp_extract("line", DISALLOW_LINE_RE, 1))
+    return (g.filter(F.col("star")
+                     & (F.col("line").rlike(DISALLOW_LINE_RE) | is_allow))
+            .select("host", prefix.alias("prefix"),
+                    is_allow.alias("allow"))
+            .filter(F.col("prefix") != "")
+            .distinct())
+
+
+def match_policy(urls: DataFrame, policies: DataFrame,
+                 host_col: str = "host",
+                 path_col: str = "path") -> DataFrame:
+    """urls + ``disallowed`` under RFC 9309 precedence: among matching
+    prefixes the longest rule wins, Allow beating Disallow on a length
+    tie. The argmax is ``max(2·len(prefix) + is_allow)`` — a plain
+    integer max, so the DuckDB oracle states the identical formula.
+    Same broadcast shape as ``match_disallowed``."""
+    r = policies.select(F.col("host").alias(host_col), "prefix", "allow")
+    score = F.when(
+        F.col("prefix").isNotNull()
+        & F.col(path_col).startswith(F.col("prefix")),
+        F.length("prefix") * 2 + F.col("allow").cast("int"))
+    j = (urls.join(F.broadcast(r), host_col, "left")
+         .withColumn("_score", score))
+    return (j.groupBy(*urls.columns)
+            .agg((F.max("_score").isNotNull()
+                  & (F.max("_score") % 2 == 0)).alias("disallowed")))
 
 
 def crawl_delays(df: DataFrame, host_col: str = "host",

@@ -30,11 +30,16 @@ for real-world http(s) URLs):
   the URL's structure. Malformed escapes (``%zz``, trailing ``%a``)
   pass through untouched.
 
-Not done (documented simplifications): dot-segment resolution (rare in
-crawl frontiers, and ``../`` resolution is not expressible without a
-loop); registrable-domain extraction is last-two-labels (no
-public-suffix list ships in this sandbox — plug one in as a broadcast
-join against a suffix table at cluster scale).
+- dot-segments resolved (RFC 3986 §5.2.4) to a BOUNDED depth: ``/./``
+  collapses and ``/seg/../`` pops, via fixed regex passes (8 levels of
+  ``..`` nesting — beyond that the residue is left as-is, which only
+  under-merges). Leading ``/../`` at the root is kept verbatim (the
+  RFC drops it; keeping it is conservative and loses no dedup on real
+  URLs, which don't escape their root).
+
+Not done (documented simplifications): registrable-domain extraction is
+last-two-labels (no public-suffix list ships in this sandbox — plug one
+in as a broadcast join against a suffix table at cluster scale).
 """
 
 from __future__ import annotations
@@ -45,6 +50,12 @@ from pyspark.sql import functions as F
 UNRESERVED = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
               "abcdefghijklmnopqrstuvwxyz"
               "0123456789-._~")
+
+# a path segment that is NOT '.' or '..' — RE2-safe (no lookahead, so
+# the DuckDB oracle can run the same pattern): starts with a non-dot, or
+# '.'+non-dot, or '..'+at-least-one-more-char
+DOT_SEG = r"([^./][^/]*|\.[^./][^/]*|\.\.[^/]+)"
+DOT_DEPTH = 8          # bounded '../' resolution depth
 
 SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
 AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
@@ -97,6 +108,23 @@ def registrable_domain(col: Column) -> Column:
     return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
 
 
+def resolve_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an already-extracted path: ``/./`` removal
+    first (so ``/a/./../b`` resolves correctly), then ``DOT_DEPTH``
+    passes of ``/seg/../`` popping (each global pass resolves one
+    nesting level), then the end-of-path variants. Every pass is a
+    constant-pattern ``regexp_replace`` mirrored verbatim in the DuckDB
+    oracle."""
+    c = path
+    for _ in range(3):
+        c = F.regexp_replace(c, r"/\./", "/")
+    for _ in range(DOT_DEPTH):
+        c = F.regexp_replace(c, f"/{DOT_SEG}/\\.\\./", "/")
+        c = F.regexp_replace(c, f"/{DOT_SEG}/\\.\\.$", "/")
+    c = F.regexp_replace(c, r"/\.$", "/")
+    return F.when(path.rlike(r"/\.\.?(/|$)"), c).otherwise(path)
+
+
 def _canonical_query(col: Column) -> Column:
     q = F.regexp_extract(col, QUERY_RE, 1)
     parts = F.filter(
@@ -118,6 +146,7 @@ def canonicalize_url(col: Column) -> Column:
         | ((scheme == "https") & (port == "443")))
     path = F.regexp_extract(col, PATH_RE, 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = resolve_dot_segments(path)
     query = _canonical_query(col)
     canon = F.concat(
         scheme, F.lit("://"), host,

@@ -90,3 +90,32 @@ def test_match_disallowed_broadcast(spark):
                    6: False}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_allow_precedence_rfc9309(spark):
+    """Longest matching rule wins; Allow beats Disallow on a length
+    tie — fixed-expectation pins for match_policy."""
+    from ocr_devnagari_spark.functions.robots import (
+        match_policy,
+        parse_robots_policies,
+    )
+
+    robots = spark.createDataFrame(
+        [("hA", "User-agent: *\nDisallow: /private\nAllow: /private/open\n"
+                "Disallow: /x\nAllow: /x\nAllow:")],
+        "host string, robots_txt string")
+    pol = parse_robots_policies(robots)
+    got_rules = {(r.prefix, r.allow) for r in pol.collect()}
+    # the empty Allow: is a no-op marker, dropped
+    assert got_rules == {("/private", False), ("/private/open", True),
+                         ("/x", False), ("/x", True)}
+    urls = spark.createDataFrame(
+        [(1, "hA", "/private/secret"),      # Disallow /private wins
+         (2, "hA", "/private/open/f"),      # longer Allow wins
+         (3, "hA", "/x/y"),                 # length tie -> Allow wins
+         (4, "hA", "/private/op"),          # open-prefix doesn't match
+         (5, "hA", "/free")],               # no rule matches
+        "id long, host string, path string")
+    got = {r.id: r.disallowed
+           for r in match_policy(urls, pol).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False}

@@ -109,3 +109,33 @@ def test_percent_normalization_rules(spark):
         [("https://x.com/%7efoo",), ("https://x.com/~foo",)], "u string")
     assert pair.select(canonicalize_url(F.col("u")).alias("c")) \
         .distinct().count() == 1
+
+
+def test_dot_segment_resolution_rules(spark):
+    """Fixed-expectation pins for RFC 3986 §5.2.4 dot-segment removal
+    (bounded depth; leading /../ kept — documented)."""
+    from ocr_devnagari_spark.functions.url import resolve_dot_segments
+
+    cases = [
+        ("/a/b/../c", "/a/c"),
+        ("/a/./b/./c", "/a/b/c"),
+        ("/a/b/c/../../d", "/a/d"),
+        ("/a/./../b", "/b"),
+        ("/a/b/..", "/a/"),
+        ("/a/.", "/a/"),
+        ("/.foo/../b", "/b"),
+        ("/a/../../b", "/../b"),       # leading /../ kept (documented)
+        ("/..", "/.."),
+        ("/plain/path", "/plain/path"),
+        ("/a.b/c.d", "/a.b/c.d"),      # dots inside segments untouched
+    ]
+    df = spark.createDataFrame([(pth,) for pth, _ in cases], "p string")
+    got = [r.c for r in df.select(
+        resolve_dot_segments(F.col("p")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    # equivalence through the full canonicalizer
+    pair = spark.createDataFrame(
+        [("https://x.com/a/b/../c",), ("https://x.com/a/c",)], "u string")
+    from ocr_devnagari_spark.functions.url import canonicalize_url
+    assert pair.select(canonicalize_url(F.col("u")).alias("c")) \
+        .distinct().count() == 1
