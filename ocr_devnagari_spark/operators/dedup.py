@@ -228,7 +228,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.8,
                   k: int = 32, bands: int = 8, rows: int = 4,
                   n: int = 3, verify: str = "exact",
-                  verify_max_df: int | None = None) -> DataFrame:
+                  verify_max_df: int | None = None,
+                  max_bucket: int | None = 5_000) -> DataFrame:
     """Candidates from LSH, verified on candidate ids only (never
     all-pairs). Returns (id_a, id_b, jaccard) ≥ threshold.
 
@@ -247,15 +248,20 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(df, id_col, text_col, k, n)
     # distinct=False: exact mode dedups via its final left-semi join;
     # estimate mode dedups below, before the signature joins fan out.
-    # The candidate set is MATERIALIZED: both verify modes consume it
-    # twice, and without truncation each consumer re-runs the whole
-    # signature aggregation — the plan's dominant stage. Candidate pairs
-    # are id-pairs bounded by max_bucket, so the checkpointed state is
-    # tiny at any corpus size. ``_materialize`` picks reliable
-    # checkpoints when a checkpoint dir is set (cluster mode) so an
-    # executor loss can't strand non-recomputable blocks.
-    cand = _materialize(
-        lsh_candidate_pairs(sig, bands, rows, distinct=False))
+    # The candidate lineage must be TRUNCATED: both verify modes consume
+    # it twice, and without truncation each consumer re-runs the whole
+    # signature aggregation — the plan's dominant stage. With a bucket
+    # cap, ``lsh_candidate_pairs`` already materialized the bucket table
+    # (for its oversize count), so the cheap in-bucket pair expansion
+    # can re-run per consumer from checkpointed blocks — a second
+    # checkpoint of the pair set would only add a blocking write.
+    # Uncapped, materialize the pairs here. ``_materialize`` picks
+    # reliable checkpoints when a checkpoint dir is set (cluster mode)
+    # so an executor loss can't strand non-recomputable blocks.
+    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False,
+                               max_bucket=max_bucket)
+    if max_bucket is None:
+        cand = _materialize(cand)
     if verify == "estimate":
         cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),
