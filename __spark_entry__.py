@@ -552,17 +552,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_bucketed,
         )
         import os
+        import shutil
         import tempfile
 
         d = _t(spark, sf_dir, "documents")
         left = d.select("doc_id", F.length("text").alias("text_len"))
         right = d.select("doc_id", "source")
-        # fresh external location per call: the in-memory catalog forgets
-        # managed tables across sessions but their warehouse dirs persist
-        # (LOCATION_ALREADY_EXISTS on the next run)
-        base = tempfile.mkdtemp(prefix="gate_bkt_")
+        # FIXED external location, cleared per call: the in-memory
+        # catalog forgets managed tables across sessions while their
+        # warehouse dirs persist (LOCATION_ALREADY_EXISTS), and a fresh
+        # mkdtemp per call would leak a parquet copy of documents on
+        # every driver-gate run
+        base = os.path.join(tempfile.gettempdir(), "ocrds_gate_bkt")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_left")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_right")
+        shutil.rmtree(base, ignore_errors=True)
         write_bucketed(left, "gate_bkt_left", ["doc_id"], 8,
                        sort_cols=["doc_id"], path=os.path.join(base, "l"))
         write_bucketed(right, "gate_bkt_right", ["doc_id"], 8,

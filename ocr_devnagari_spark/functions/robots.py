@@ -39,13 +39,18 @@ from pyspark.sql import functions as F
 
 # attribute order varies in the wild: name before content and the
 # reverse both occur; (?is) = case-insensitive + dotall (Java and RE2
-# agree on these inline flags, keeping the DuckDB oracle identical)
+# agree on these inline flags, keeping the DuckDB oracle identical).
+# 'robots' must be FOLLOWED by a terminator so an unquoted longer value
+# (name=robotsmeta) can't prefix-match; the forward pattern's class
+# excludes '>' (a tag that closes right after the name has no content
+# attribute, and crossing '>' would match body text), while the reverse
+# pattern — where nothing more is required — accepts '>' too.
 META_NOINDEX_RE = (
-    r"(?is)<meta\s[^>]*name\s*=\s*['\"]?robots['\"]?[^>]*"
+    r"(?is)<meta\s[^>]*name\s*=\s*['\"]?robots['\"\s/][^>]*"
     r"content\s*=\s*['\"][^'\"]*noindex")
 META_NOINDEX_REV_RE = (
     r"(?is)<meta\s[^>]*content\s*=\s*['\"][^'\"]*noindex[^'\"]*['\"]"
-    r"[^>]*name\s*=\s*['\"]?robots")
+    r"[^>]*name\s*=\s*['\"]?robots['\"\s/>]")
 
 UA_LINE_RE = r"(?i)^user-agent\s*:\s*(.*)$"
 DISALLOW_LINE_RE = r"(?i)^disallow\s*:\s*(\S*)"
@@ -127,17 +132,22 @@ def match_policy(urls: DataFrame, policies: DataFrame,
     prefixes the longest rule wins, Allow beating Disallow on a length
     tie. The argmax is ``max(2·len(prefix) + is_allow)`` — a plain
     integer max, so the DuckDB oracle states the identical formula.
-    Same broadcast shape as ``match_disallowed``."""
-    r = policies.select(F.col("host").alias(host_col), "prefix", "allow")
+    Same broadcast shape as ``match_disallowed``; duplicate input rows
+    are preserved 1:1."""
+    tagged = _tag_rows(urls)
+    r = policies.select(F.col("host").alias(host_col),
+                        F.col("prefix").alias(_PFX),
+                        F.col("allow").alias(_ALW))
     score = F.when(
-        F.col("prefix").isNotNull()
-        & F.col(path_col).startswith(F.col("prefix")),
-        F.length("prefix") * 2 + F.col("allow").cast("int"))
-    j = (urls.join(F.broadcast(r), host_col, "left")
-         .withColumn("_score", score))
-    return (j.groupBy(*urls.columns)
-            .agg((F.max("_score").isNotNull()
-                  & (F.max("_score") % 2 == 0)).alias("disallowed")))
+        F.col(_PFX).isNotNull()
+        & F.col(path_col).startswith(F.col(_PFX)),
+        F.length(_PFX) * 2 + F.col(_ALW).cast("int"))
+    j = (tagged.join(F.broadcast(r), host_col, "left")
+         .withColumn(_SCORE, score))
+    return (j.groupBy(_RID, *urls.columns)
+            .agg((F.max(_SCORE).isNotNull()
+                  & (F.max(_SCORE) % 2 == 0)).alias("disallowed"))
+            .drop(_RID))
 
 
 def crawl_delays(df: DataFrame, host_col: str = "host",
@@ -153,6 +163,22 @@ def crawl_delays(df: DataFrame, host_col: str = "host",
             .agg(F.max("crawl_delay").alias("crawl_delay")))
 
 
+_RID = "__robots_rid"          # reserved internal names — prefixed so a
+_PFX = "__robots_prefix"       # frontier column can't collide with them
+_ALW = "__robots_allow"
+_SCORE = "__robots_score"
+
+
+def _tag_rows(urls: DataFrame) -> DataFrame:
+    """Attach a per-row nonce so the regroup after the rules join
+    preserves DUPLICATE url rows (a re-crawl frontier legitimately
+    carries the same (host, path) twice; grouping on the visible
+    columns alone would silently collapse them)."""
+    if _RID in urls.columns:
+        raise ValueError(f"reserved column name {_RID!r} in input")
+    return urls.withColumn(_RID, F.monotonically_increasing_id())
+
+
 def match_disallowed(urls: DataFrame, rules: DataFrame,
                      host_col: str = "host",
                      path_col: str = "path") -> DataFrame:
@@ -160,12 +186,14 @@ def match_disallowed(urls: DataFrame, rules: DataFrame,
     prefixes is a prefix of the path. The rules side is tiny (one
     robots.txt per host) → BROADCAST, so a 10^12-row frontier never
     shuffles; per-URL cost is a hash probe + startswith over the host's
-    few rules."""
+    few rules. Duplicate input rows are preserved 1:1."""
+    tagged = _tag_rows(urls)
     r = rules.select(F.col("host").alias(host_col),
-                     F.col("prefix"))
-    hit = (urls.join(F.broadcast(r), host_col, "left")
-           .withColumn("_hit",
-                       F.col("prefix").isNotNull()
-                       & F.col(path_col).startswith(F.col("prefix"))))
-    return (hit.groupBy(*urls.columns)
-            .agg(F.max("_hit").alias("disallowed")))
+                     F.col("prefix").alias(_PFX))
+    hit = (tagged.join(F.broadcast(r), host_col, "left")
+           .withColumn(_SCORE,
+                       F.col(_PFX).isNotNull()
+                       & F.col(path_col).startswith(F.col(_PFX))))
+    return (hit.groupBy(_RID, *urls.columns)
+            .agg(F.max(_SCORE).alias("disallowed"))
+            .drop(_RID))

@@ -273,6 +273,20 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
     vmax = max(c["v"] for c in comps)
     if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
         raise UnsupportedMediaError("JPEG subset: sampling factors 1-2")
+    if len(scan) != len(comps):
+        # this decoder handles exactly one scan; a partial-component
+        # scan means a multi-scan (non-interleaved per-component) file
+        raise UnsupportedMediaError(
+            "JPEG subset: single interleaved scan covering all "
+            "components")
+    if len(comps) == 1:
+        # T.81 A.2: an ns=1 scan is NON-interleaved — one 8×8 block per
+        # MCU in raster order over the component's own block grid,
+        # regardless of the SOF sampling factors (grayscale files from
+        # color-preserving tools keep 2×2 luma factors). MCU tiling
+        # here would scramble blocks and misalign restart counting.
+        return _decode_scan_single(data, pos, frame, scan, qt, huff_dc,
+                                   huff_ac, restart_interval)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
@@ -321,6 +335,38 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                   255).astype(np.uint8).reshape(-1, 3)
     pixels = [tuple(int(v) for v in px) for px in rgb]
     return {"width": w, "height": h, "channels": 3, "pixels": pixels}
+
+
+def _decode_scan_single(data: bytes, pos: int, frame: dict, scan: dict,
+                        qt: dict, huff_dc: dict, huff_ac: dict,
+                        restart_interval: int) -> dict:
+    """Non-interleaved grayscale scan: raster 8×8 blocks, restart
+    interval counted per block (= per MCU in an ns=1 scan)."""
+    c = frame["comps"][0]
+    w, h = frame["w"], frame["h"]
+    td, ta = scan[c["id"]]
+    q = qt[c["tq"]]
+    bx_n = -(-w // 8)
+    by_n = -(-h // 8)
+    plane = np.zeros((by_n * 8, bx_n * 8))
+    reader = _BitReader(data, pos)
+    pred = 0
+    for bi in range(bx_n * by_n):
+        if restart_interval and bi and bi % restart_interval == 0:
+            reader.align_to_restart()
+            pred = 0
+        coef = _decode_block(reader, huff_dc[td], huff_ac[ta])
+        pred += coef[0]
+        coef[0] = pred
+        zz = np.zeros(64)
+        for z in range(64):
+            zz[ZIGZAG[z]] = coef[z]
+        y0 = (bi // bx_n) * 8
+        x0 = (bi % bx_n) * 8
+        plane[y0:y0 + 8, x0:x0 + 8] = _idct2(zz.reshape(8, 8) * q) + 128.0
+    gray = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+    pixels = [(int(v),) for v in gray.reshape(-1)]
+    return {"width": w, "height": h, "channels": 1, "pixels": pixels}
 
 
 def _decode_block(reader: _BitReader, dc_tbl: dict,

@@ -166,34 +166,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
-                        rows: int = 4, distinct: bool = True,
-                        max_bucket: int | None = 5_000) -> DataFrame:
-    """Band the signature (bands × rows = k) and emit candidate pairs
-    from ONE aggregation per band bucket (groupBy → collect_set →
-    in-bucket pair expansion), replacing the earlier bucket self-join —
-    one shuffle of bands × (band_hash, id) rows instead of two scans of
-    the banded table.
+def _lsh_buckets(sig: DataFrame, bands: int, rows: int,
+                 max_bucket: int | None) -> DataFrame:
+    """(band_idx, band_hash, ids) multi-occupant LSH band buckets, the
+    shared primitive behind ``lsh_candidate_pairs`` and
+    ``minhash_dedup``. MATERIALIZED (``_materialize``: reliable
+    checkpoint on clusters) — every consumer otherwise re-runs the
+    signature aggregation, the plan's dominant stage.
 
-    ``max_bucket`` caps bucket expansion — DEFAULT-ON (5k). On a real
-    crawl the "real near-duplicate cluster size" that bounds a bucket is
-    itself unbounded: 10M copies of an empty/template page collide on
-    EVERY band, landing one 10M-id array on a single executor row and
-    10^14 pair rows. A bucket of b ids costs b ids collected + b(b−1)/2
-    pairs, so the cap bounds per-task memory at ~max_bucket longs and
-    pair fan-out at ~max_bucket²/2. Oversized buckets are DROPPED and
-    surfaced (count via ``log``) — the same stop-shingle ``max_df``
-    discipline the rest of this module applies; such mega-clusters are
-    exact-duplicate families that ``exact_dedup_groups`` already catches
-    at one hash per doc, which is the documented contract: run exact
-    dedup first, LSH finds what it can't. Pass ``None`` only for a
-    provably-small input.
-
-    ``distinct=False`` skips the cross-band pair dedup (one full shuffle
-    of the pair set) — for consumers whose downstream is
-    duplicate-insensitive (``minhash_dedup``'s exact mode: the verified
-    left-semi join dedups for free).
-    """
+    ``max_bucket`` caps bucket size — DEFAULT-ON (5k). On a real crawl
+    the cluster size that bounds a bucket is itself unbounded: 10M
+    copies of an empty/template page collide on EVERY band, landing one
+    10M-id array on a single executor row and 10^14 pair rows. The cap
+    bounds per-task memory at ~max_bucket longs and pair fan-out at
+    ~max_bucket²/2. Oversized buckets are DROPPED and surfaced (count
+    via ``log``) — the same stop-shingle ``max_df`` discipline the rest
+    of this module applies. HONEST LIMIT: a dropped bucket may hold a
+    genuine NEAR-duplicate family larger than the cap (6k template
+    pages differing only in a date), and those pairs are simply not
+    found — exact dedup only removes the exactly-identical portion
+    first. If such families matter, raise ``max_bucket`` (cost grows
+    quadratically) or union with ``simhash_near_dups``, whose
+    pigeonhole join has no per-bucket collect."""
     band_hashes = F.array(*[
         F.xxhash64(F.concat_ws(
             ",", *[F.col(f"h{b * rows + r}").cast("string")
@@ -204,23 +198,43 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
     grp = (banded.groupBy("band_idx", "band_hash")
            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
            .filter(F.size("ids") > 1))
+    grp = _materialize(grp)
     if max_bucket is not None:
-        # Materialize the (tiny: multi-occupant buckets only) bucket
-        # table ONCE so the oversize count and the pair expansion both
-        # read checkpointed blocks instead of each re-running the
-        # signature aggregation — the plan's dominant stage.
-        grp = _materialize(grp)
         n = grp.filter(F.size("ids") > max_bucket).count()
         if n:
             log.warning(
                 "lsh_candidate_pairs: dropping %d band bucket(s) larger "
-                "than max_bucket=%d — mega-clusters this size are "
-                "exact-duplicate families; run exact dedup first or "
-                "raise max_bucket", n, max_bucket)
+                "than max_bucket=%d — near-dup families this size are "
+                "NOT found (see _lsh_buckets docstring); raise "
+                "max_bucket or pre-apply exact dedup", n, max_bucket)
         grp = grp.filter(F.size("ids") <= max_bucket)
-    pairs = (grp.select(F.explode("ids").alias("id_a"), "ids")
-             .select("id_a", F.explode("ids").alias("id_b"))
-             .filter(F.col("id_a") < F.col("id_b")))
+    return grp
+
+
+def _expand_bucket_pairs(grp: DataFrame) -> DataFrame:
+    """In-bucket pair expansion over a (materialized) bucket table."""
+    return (grp.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b")))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8,
+                        rows: int = 4, distinct: bool = True,
+                        max_bucket: int | None = 5_000) -> DataFrame:
+    """Band the signature (bands × rows = k) and emit candidate pairs
+    from ONE aggregation per band bucket (groupBy → collect_set →
+    in-bucket pair expansion), replacing the earlier bucket self-join —
+    one shuffle of bands × (band_hash, id) rows instead of two scans of
+    the banded table. Bucket capping and materialization:
+    ``_lsh_buckets``.
+
+    ``distinct=False`` skips the cross-band pair dedup (one full shuffle
+    of the pair set) — for consumers whose downstream is
+    duplicate-insensitive (``minhash_dedup``'s exact mode: the verified
+    left-semi join dedups for free).
+    """
+    pairs = _expand_bucket_pairs(_lsh_buckets(sig, bands, rows,
+                                              max_bucket))
     return pairs.distinct() if distinct else pairs
 
 
@@ -246,22 +260,15 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     scale a second pass over the payload column is the dominant cost).
     """
     sig = minhash_signatures(df, id_col, text_col, k, n)
-    # distinct=False: exact mode dedups via its final left-semi join;
-    # estimate mode dedups below, before the signature joins fan out.
-    # The candidate lineage must be TRUNCATED: both verify modes consume
-    # it twice, and without truncation each consumer re-runs the whole
-    # signature aggregation — the plan's dominant stage. With a bucket
-    # cap, ``lsh_candidate_pairs`` already materialized the bucket table
-    # (for its oversize count), so the cheap in-bucket pair expansion
-    # can re-run per consumer from checkpointed blocks — a second
-    # checkpoint of the pair set would only add a blocking write.
-    # Uncapped, materialize the pairs here. ``_materialize`` picks
-    # reliable checkpoints when a checkpoint dir is set (cluster mode)
-    # so an executor loss can't strand non-recomputable blocks.
-    cand = lsh_candidate_pairs(sig, bands, rows, distinct=False,
-                               max_bucket=max_bucket)
-    if max_bucket is None:
-        cand = _materialize(cand)
+    # The bucket table is materialized inside ``_lsh_buckets`` (reliable
+    # checkpoint on clusters), so every consumer below reads checkpointed
+    # blocks instead of re-running the signature aggregation — the
+    # plan's dominant stage. The in-bucket pair expansion is
+    # deliberately run ONCE per verify mode: the candidate-id set comes
+    # straight from the bucket membership (any id in a multi-occupant
+    # bucket is in ≥1 pair), never from re-expanding pairs.
+    grp = _lsh_buckets(sig, bands, rows, max_bucket)
+    cand = _expand_bucket_pairs(grp)       # cross-band dupes possible
     if verify == "estimate":
         cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),
@@ -276,9 +283,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                 .select("id_a", "id_b", "jaccard"))
     if verify != "exact":
         raise ValueError(f"unknown verify mode {verify!r}")
-    ids = (cand.select(F.col("id_a").alias("id"))
-           .union(cand.select("id_b")).distinct())
-    subset = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    ids = grp.select(F.explode("ids").alias(id_col)).distinct()
+    subset = df.join(ids, id_col, "left_semi")
     verified = jaccard_pairs(subset, id_col, text_col, n, threshold,
                              max_df=verify_max_df)
     return verified.join(cand, ["id_a", "id_b"], "left_semi")

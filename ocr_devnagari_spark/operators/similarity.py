@@ -175,6 +175,17 @@ def _commit_version(spark, index_dir: str, version: str,
     its version joins the normal retention/GC lifecycle."""
     fs, root, jvm = _hfs(spark, index_dir)
     hpath = jvm.org.apache.hadoop.fs.Path
+
+    def mk_marker(name: str) -> None:
+        try:
+            fs.create(hpath(root, f"{_COMMITS}/{name}"), False).close()
+        except Exception:
+            # two concurrent first-migration builds race on the
+            # identical legacy seq-1 marker: losing the create is fine
+            # exactly when the marker (same content) already exists
+            if not fs.exists(hpath(root, f"{_COMMITS}/{name}")):
+                raise
+
     markers = _list_commit_markers(fs, jvm, root)
     legacy_cp = hpath(root, "_current")
     if not markers and fs.exists(legacy_cp):
@@ -186,14 +197,17 @@ def _commit_version(spark, index_dir: str, version: str,
             stream.close()
         if legacy and legacy != version:
             fs.mkdirs(hpath(root, _COMMITS))
-            fs.create(hpath(root, f"{_COMMITS}/{1:020d}-{legacy}"),
-                      False).close()
+            mk_marker(f"{1:020d}-{legacy}")
             markers = _list_commit_markers(fs, jvm, root)
-        fs.delete(legacy_cp, False)
     seq = int(markers[-1].split("-", 1)[0]) + 1 if markers else 1
     fs.mkdirs(hpath(root, _COMMITS))
-    fs.create(hpath(root, f"{_COMMITS}/{seq:020d}-{version}"),
-              False).close()
+    mk_marker(f"{seq:020d}-{version}")
+    # retire the legacy pointer only AFTER markers exist — readers fall
+    # back to it when the marker log is empty, so deleting it first
+    # would open a no-committed-index window (worse for an
+    # empty/corrupt pointer, which folds into no marker at all)
+    if fs.exists(legacy_cp):
+        fs.delete(legacy_cp, False)
     # lazy GC: markers older than the keep window → version dir + marker
     expired = _list_commit_markers(fs, jvm, root)[:-max(keep_versions, 1)]
     for name in expired:
@@ -290,9 +304,15 @@ def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
     PartitionFilter — non-probed files are never opened (asserted by
     ``test_ann_index_partition_pruning``).
 
-    Pointer resolution retries once: a build that raced this query may
-    have GC'd the resolved version past its grace window, in which case
-    re-resolving lands on the freshly committed one."""
+    Pointer resolution retries once: if a build raced the EAGER meta
+    read here, re-resolving lands on the freshly committed version.
+    LIFETIME BOUNDARY (by design): the returned DataFrame reads the
+    resolved version's data files lazily, so it must be consumed before
+    ``keep_versions`` further builds retire that version — a held-open
+    query older than the grace window fails (loudly, FileNotFound) at
+    action time. Long-lived readers should raise ``keep_versions`` on
+    the builder; time-based retention would need wall-clock state the
+    commit log deliberately avoids."""
     import json
     import os
 

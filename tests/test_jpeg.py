@@ -232,3 +232,23 @@ def test_image_features_dispatches_jpeg():
     assert (f["width"], f["height"]) == (16, 16)
     assert isinstance(f["phash"], int)
     assert abs(sum(f["features"]) - 1.0) < 1e-6
+
+
+def test_grayscale_scan_is_noninterleaved_regardless_of_sampling():
+    """T.81 A.2: an ns=1 scan is non-interleaved raster blocks even when
+    SOF declares 2x2 sampling factors (grayscale conversions from color
+    tools keep the luma factors). MCU tiling would scramble or reject
+    these files."""
+    w, h = 24, 8
+    px = _gradient_gray(w, h)
+    good = encode_jpeg(px, w, h, channels=1, quant=1)
+    # patch the SOF sampling byte 0x11 -> 0x22 (entropy stream unchanged:
+    # ns=1 scans are raster blocks either way per the spec)
+    sof_at = good.index(b"\xFF\xC0")
+    comp_samp = sof_at + 4 + 6 + 1          # marker+len+prec/h/w/nc + cid
+    assert good[comp_samp] == 0x11
+    patched = good[:comp_samp] + b"\x22" + good[comp_samp + 1:]
+    dec = decode_jpeg(patched)
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert max(abs(a[0] - b[0])
+               for a, b in zip(px, dec["pixels"])) <= 1

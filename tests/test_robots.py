@@ -30,6 +30,14 @@ def test_meta_noindex_cases(spark):
         (8, "<head></head><body>x</body>", False),
         # multiline tag
         (9, '<meta name="robots"\n content="a, noindex">', True),
+        # unquoted LONGER name must not prefix-match 'robots'
+        (10, '<meta name=robotsmeta content="noindex">', False),
+        (11, '<meta content="noindex" name=robotsmeta>', False),
+        # name-only tag followed by 'content=noindex' in body text is
+        # not a directive (the tag itself has no content attribute)
+        (12, '<meta name=robots>content="noindex" as text', False),
+        # no-space attribute boundary still matches
+        (13, '<meta name="robots"content="noindex">', True),
     ]
     df = spark.createDataFrame([(i, h) for i, h, _ in cases],
                                "id long, html string")
