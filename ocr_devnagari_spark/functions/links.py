@@ -1,0 +1,122 @@
+"""Link-graph operators — outlink extraction, host edges, PageRank.
+
+The crawl-frontier complement to ``functions/url.py``/``robots.py``:
+training pipelines weight documents by host authority (the
+Common-Crawl-derived corpora all carry a PageRank-ish signal) and need
+the outlink graph anyway for frontier expansion.
+
+- ``extract_links(html)`` — href values from anchor tags, one regex
+  (``regexp_extract_all``), no HTML parser needed for the crawl-graph
+  use case (malformed pages just yield fewer links).
+- ``host_edges(df)`` — (src_host, dst_host, n_links) host-graph edges:
+  absolute http(s) and protocol-relative links resolve to their own
+  host, relative links to the source host.
+- ``pagerank(edges)`` — power iteration with the standard damped
+  formula PR(v) = (1−d)/N + d·Σ PR(u)/outdeg(u) over in-neighbours.
+  Dangling mass is DROPPED, not redistributed (documented choice: it
+  keeps every iteration a pure join+groupBy both here and in the
+  unrolled-SQL oracle; ranks then sum to < 1, which is fine for
+  RANKING). Each iteration rounds to 6 decimals so the Spark and
+  DuckDB fixpoints agree bit-for-bit despite float summation order.
+
+Scale notes: the rank table is (host, double) — tiny next to the
+corpus — and each iteration is one shuffle on dst plus a broadcastable
+outdeg join. Iterative lineage is truncated per round via the shared
+``_materialize`` (reliable checkpoints on clusters), the
+``connected_components`` discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _materialize
+from .url import AUTHORITY_RE
+
+HREF_RE = r"(?i)<a\s[^>]*href\s*=\s*[\"']([^\"'<>\s]+)"
+
+
+def extract_links(html: Column) -> Column:
+    """array<string> of href values from anchor tags."""
+    return F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+
+
+def link_rows(df: DataFrame, url_col: str = "url",
+              html_col: str = "html") -> DataFrame:
+    """(url, href) — one row per outlink."""
+    return df.select(F.col(url_col).alias("url"),
+                     F.explode(extract_links(F.col(html_col)))
+                     .alias("href"))
+
+
+def _href_host(href: Column, src_host: Column) -> Column:
+    """Destination host: absolute links carry their own (lowercased)
+    authority, protocol-relative ``//host/…`` likewise, anything else
+    (relative path, fragment, mailto-less shorthand) stays on the
+    source host."""
+    auth = F.regexp_extract(href, AUTHORITY_RE, 1)
+    rel_auth = F.regexp_extract(href, r"^//([^/?#]*)", 1)
+    host_of = lambda a: F.lower(  # noqa: E731 — tiny local shaping
+        F.regexp_replace(F.regexp_replace(a, r"^[^@]*@", ""),
+                         r":\d*$", ""))
+    return (F.when(auth != "", host_of(auth))
+            .when(rel_auth != "", host_of(rel_auth))
+            .otherwise(src_host))
+
+
+def host_edges(df: DataFrame, src_host_col: str = "host",
+               html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) — aggregated host-graph edges,
+    self-loops included (a site linking to itself is real signal for
+    outdegree normalization; filter afterwards if unwanted)."""
+    links = df.select(F.col(src_host_col).alias("src_host"),
+                      F.explode(extract_links(F.col(html_col)))
+                      .alias("href"))
+    return (links
+            .select("src_host",
+                    _href_host(F.col("href"), F.col("src_host"))
+                    .alias("dst_host"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85,
+             src_col: str = "src_host", dst_col: str = "dst_host",
+             self_loops: bool = False) -> DataFrame:
+    """(host, pr) after ``iterations`` rounds of damped power iteration
+    over the DISTINCT edge set (parallel edges count once — PageRank is
+    defined on the graph, not the multigraph). Nodes = union of sources
+    and destinations; dangling nodes contribute nothing (mass dropped,
+    see module docstring). Every iteration rounds pr to 6 decimals —
+    that is what makes the result reproducible across engines and
+    partitionings (float addition is not associative)."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct()
+    if not self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    e = _materialize(e)
+    nodes = _materialize(
+        e.select(F.col("src").alias("host"))
+        .union(e.select("dst")).distinct())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.round(F.lit(1.0 / n), 6))
+    for _ in range(iterations):
+        contrib = (e.join(outdeg, "src")
+                   .join(ranks.withColumnRenamed("host", "src"), "src")
+                   .select(F.col("dst").alias("host"),
+                           (F.col("pr") / F.col("outdeg"))
+                           .alias("c")))
+        summed = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = _materialize(
+            nodes.join(summed, "host", "left")
+            .select("host",
+                    F.round(F.lit(base)
+                            + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                            6).alias("pr")))
+    return ranks
