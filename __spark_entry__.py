@@ -192,6 +192,29 @@ _SYNTHETIC_PATH_SQL = (
     "ELSE '/tmp' END")
 
 
+def _linky_html() -> F.Column:
+    """Deterministic HTML with outlinks: one absolute, one
+    protocol-relative, one relative href per doc; hosts derived from
+    doc_id so the host graph has real in/out-degree structure."""
+    sid = F.col("doc_id").cast("string")
+    h1 = (F.col("doc_id") % 9).cast("string")
+    h2 = ((F.col("doc_id") * 3 + 1) % 9).cast("string")
+    return F.concat(
+        F.lit('<html><body><a href="https://h'), h1,
+        F.lit('.example.com/p/'), sid,
+        F.lit('">l1</a> <a href="//h'), h2,
+        F.lit('.example.com/q">l2</a> <a href="/local/'), sid,
+        F.lit('">l3</a></body></html>'))
+
+
+_LINKY_HTML_SQL = (
+    "'<html><body><a href=\"https://h' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.example.com/p/' || CAST(doc_id AS VARCHAR) || "
+    "'\">l1</a> <a href=\"//h' || CAST((doc_id * 3 + 1) % 9 AS VARCHAR) "
+    "|| '.example.com/q\">l2</a> <a href=\"/local/' || "
+    "CAST(doc_id AS VARCHAR) || '\">l3</a></body></html>'")
+
+
 # one synthetic robots.txt corpus, shared verbatim by the Spark query
 # (createDataFrame) and the DuckDB oracle (VALUES) — group semantics,
 # CRLF, comments, empty-Disallow and non-star groups all have signal
@@ -481,6 +504,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_devnagari_spark.functions.robots import crawl_delays
         return crawl_delays(_robots_corpus_df(spark))
     q["robots_crawl_delays"] = robots_crawl_delays
+
+    # ---- link graph (beyond-ref: frontier expansion + host authority) --
+    def link_extract(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import link_rows
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", _linky_html().alias("html"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"))
+        return link_rows(d).withColumnRenamed("url", "src_url")
+    q["link_extract"] = link_extract
+
+    def _edges_df(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import host_edges
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            _linky_html().alias("html"))
+        return host_edges(d)
+
+    def link_host_edges(spark, sf_dir):
+        return _edges_df(spark, sf_dir)
+    q["link_host_edges"] = link_host_edges
+
+    def host_pagerank(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import pagerank
+        return pagerank(_edges_df(spark, sf_dir), iterations=10)
+    q["host_pagerank"] = host_pagerank
+
+    # ---- TF-IDF keyword extraction ----
+    def tfidf_top_terms(spark, sf_dir):
+        from ocr_devnagari_spark.functions.terms import tfidf_topk
+        return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+    q["tfidf_top_terms"] = tfidf_top_terms
+
+    # ---- content sniffing: hex classifier (oracle-checked) ----
+    def sniff_mime_hex(spark, sf_dir):
+        from ocr_devnagari_spark.functions.sniff import classify_hex
+        d = _t(spark, sf_dir, "documents")
+        tail = F.lpad(F.upper(F.hex(F.col("doc_id"))), 8, "0")
+        sig = (F.when(F.col("doc_id") % 5 == 0,
+                      F.concat(F.lit("89504E470D0A1A0A"), tail))
+               .when(F.col("doc_id") % 5 == 1,
+                     F.concat(F.lit("FFD8FFE0"), tail))
+               .when(F.col("doc_id") % 5 == 2,
+                     F.concat(F.lit("52494646"), tail,
+                              F.lit("57415645")))
+               .when(F.col("doc_id") % 5 == 3,
+                     F.concat(F.lit("3C21444F43545950"), tail))
+               .otherwise(tail))
+        return d.select("doc_id", classify_hex(sig).alias("mime"))
+    q["sniff_mime_hex"] = sniff_mime_hex
+
+    # ---- content sniffing over REAL payloads (rows-only; pytest
+    #      oracle runs the same codec bytes through the classifier) ----
+    def sniff_mime_stats(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.functions.sniff import sniff_mime
+        from ocr_devnagari_spark.operators.multimodal import MEDIA_SCHEMA
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+
+        def to_media(batches):
+            import pandas as pd
+
+            from ocr_devnagari_spark.codecs import encode_png
+            from ocr_devnagari_spark.jpegcodec import encode_jpeg
+            px = [(120,)] * 64
+            png = encode_png(px, 8, 8, 1)
+            jpg = encode_jpeg(px, 8, 8, 1, quant=1)
+            for pdf in batches:
+                recs = []
+                for did in pdf["doc_id"]:
+                    payload = (png, jpg, b"%PDF-1.4 x",
+                               b"not a known format")[did % 4]
+                    recs.append({"media_id": f"m{did}", "kind": "image",
+                                 "payload": payload, "mime": None})
+                yield pd.DataFrame(
+                    recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+        media = d.mapInPandas(to_media, MEDIA_SCHEMA)
+        return (media.select(sniff_mime(F.col("payload")).alias("mime"))
+                .groupBy("mime").agg(F.count("*").alias("n")))
+    q["sniff_mime_stats"] = sniff_mime_stats
 
     # ---- dedup: exact groups over planted clones ----
     def dedup_exact(spark, sf_dir):
@@ -1148,6 +1253,87 @@ GROUP BY g.host
 """
 
 
+def _link_extract_sql() -> str:
+    from ocr_devnagari_spark.functions.links import HREF_RE
+    return (f"SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS src_url, "
+            f"t.href FROM (SELECT doc_id, regexp_extract_all("
+            f"{_LINKY_HTML_SQL}, '{_sq(HREF_RE)}', 1) AS hs "
+            f"FROM documents), LATERAL unnest(hs) AS t(href)")
+
+
+def _host_edges_sql() -> str:
+    """DuckDB mirror of functions.links.host_edges over the synthetic
+    linky corpus — same href regex and host-resolution CASE."""
+    from ocr_devnagari_spark.functions.links import HREF_RE
+    from ocr_devnagari_spark.functions.url import AUTHORITY_RE
+
+    def host_of(a: str) -> str:
+        return (f"lower(regexp_replace(regexp_replace({a}, '^[^@]*@', "
+                f"''), ':\\d*$', ''))")
+
+    auth = f"regexp_extract(href, '{_sq(AUTHORITY_RE)}', 1)"
+    rel = "regexp_extract(href, '^//([^/?#]*)', 1)"
+    dst = (f"CASE WHEN {auth} != '' THEN {host_of(auth)} "
+           f"WHEN {rel} != '' THEN {host_of(rel)} "
+           f"ELSE src_host END")
+    return f"""
+_docs AS (SELECT doc_id,
+                 's' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                 AS host, {_LINKY_HTML_SQL} AS html FROM documents),
+_links AS (SELECT host AS src_host, t.href
+           FROM (SELECT host, regexp_extract_all(html,
+                 '{_sq(HREF_RE)}', 1) AS hs FROM _docs),
+                LATERAL unnest(hs) AS t(href)),
+_resolved AS (SELECT src_host, {dst} AS dst_host FROM _links),
+_edges_agg AS (SELECT src_host, dst_host,
+                      CAST(count(*) AS BIGINT) AS n_links
+               FROM _resolved GROUP BY src_host, dst_host)
+"""
+
+
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration chain (DuckDB restricts aggregates over
+    a recursive reference, so each iteration is its own CTE) — same
+    formula, same per-iteration 6dp rounding as functions.links.
+    pagerank."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [f"""
+_e AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+       FROM _edges_agg WHERE src_host != dst_host),
+_nodes AS (SELECT src AS host FROM _e UNION SELECT dst FROM _e),
+_cnt AS (SELECT count(*) AS n FROM _nodes),
+_outd AS (SELECT src, count(*) AS outdeg FROM _e GROUP BY src),
+r0 AS (SELECT host, round(1.0 / _cnt.n, 6) AS pr FROM _nodes, _cnt)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+r{i} AS (
+  SELECT n.host,
+         round((1.0 - {d}) / _cnt.n
+               + {d} * coalesce(s.s, CAST(0 AS DOUBLE)), 6) AS pr
+  FROM _nodes n CROSS JOIN _cnt
+  LEFT JOIN (SELECT e.dst AS host, sum(r.pr / o.outdeg) AS s
+             FROM _e e JOIN _outd o ON o.src = e.src
+             JOIN r{i - 1} r ON r.host = e.src
+             GROUP BY e.dst) s ON s.host = n.host)""")
+    return (",".join(parts)
+            + f" SELECT host, pr FROM r{iterations}")
+
+
+def _sniff_hex_sql() -> str:
+    """DuckDB mirror of the sniff_mime_hex driver query — hex synth via
+    upper(to_hex)+lpad, classifier generated from the same
+    MAGIC_TABLE."""
+    from ocr_devnagari_spark.functions.sniff import classify_hex_sql
+    tail = "lpad(upper(to_hex(doc_id)), 8, '0')"
+    sig = (f"CASE WHEN doc_id % 5 = 0 THEN '89504E470D0A1A0A' || {tail} "
+           f"WHEN doc_id % 5 = 1 THEN 'FFD8FFE0' || {tail} "
+           f"WHEN doc_id % 5 = 2 THEN '52494646' || {tail} || '57415645' "
+           f"WHEN doc_id % 5 = 3 THEN '3C21444F43545950' || {tail} "
+           f"ELSE {tail} END")
+    return (f"SELECT doc_id, {classify_hex_sql(f'({sig})')} AS mime "
+            f"FROM documents")
+
+
 def _robots_noindex_sql() -> str:
     from ocr_devnagari_spark.functions.robots import (
         META_NOINDEX_RE,
@@ -1202,6 +1388,7 @@ def _a2_cost_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -1304,6 +1491,14 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _robots_rules_sql(),
         "robots_gate_stats": _robots_gate_sql(),
         "robots_crawl_delays": _robots_delays_sql(),
+        "link_extract": _link_extract_sql(),
+        "link_host_edges": (
+            f"WITH {_host_edges_sql()} SELECT src_host, dst_host, "
+            f"n_links FROM _edges_agg"),
+        "host_pagerank": (
+            f"WITH {_host_edges_sql()}, {_pagerank_sql(10)}"),
+        "tfidf_top_terms": tfidf_topk_sql(3),
+        "sniff_mime_hex": _sniff_hex_sql(),
         # bucketing is a physical property — the logical result is a
         # plain 1:1 self-join ≡ one aggregation over documents
         "bucketed_join_stats": (
