@@ -663,15 +663,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         left = d.select("doc_id", F.length("text").alias("text_len"))
         right = d.select("doc_id", "source")
-        # FIXED external location, cleared per call: the in-memory
-        # catalog forgets managed tables across sessions while their
-        # warehouse dirs persist (LOCATION_ALREADY_EXISTS), and a fresh
-        # mkdtemp per call would leak a parquet copy of documents on
-        # every driver-gate run
-        base = os.path.join(tempfile.gettempdir(), "ocrds_gate_bkt")
+        # External location keyed by the Spark applicationId: per-call
+        # rmtree of a globally-shared dir would race a concurrent
+        # session's in-flight read, while a fresh mkdtemp per call
+        # leaks a parquet copy of documents every driver-gate run.
+        # Same-session reruns clear their own dir (the in-memory
+        # catalog forgets tables but warehouse dirs persist —
+        # LOCATION_ALREADY_EXISTS); stale siblings from dead sessions
+        # are GC'd after a day.
+        tmp = tempfile.gettempdir()
+        base = os.path.join(
+            tmp, f"ocrds_gate_bkt_{spark.sparkContext.applicationId}")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_left")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_right")
         shutil.rmtree(base, ignore_errors=True)
+        import glob
+        import time as _time
+        for old in glob.glob(os.path.join(tmp, "ocrds_gate_bkt_*")):
+            try:
+                if _time.time() - os.path.getmtime(old) > 86400:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
         write_bucketed(left, "gate_bkt_left", ["doc_id"], 8,
                        sort_cols=["doc_id"], path=os.path.join(base, "l"))
         write_bucketed(right, "gate_bkt_right", ["doc_id"], 8,

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import _materialize
-from .url import AUTHORITY_RE
+from .url import AUTHORITY_RE, strip_host
 
 HREF_RE = r"(?i)<a\s[^>]*href\s*=\s*[\"']([^\"'<>\s]+)"
 
@@ -57,11 +57,8 @@ def _href_host(href: Column, src_host: Column) -> Column:
     source host."""
     auth = F.regexp_extract(href, AUTHORITY_RE, 1)
     rel_auth = F.regexp_extract(href, r"^//([^/?#]*)", 1)
-    host_of = lambda a: F.lower(  # noqa: E731 — tiny local shaping
-        F.regexp_replace(F.regexp_replace(a, r"^[^@]*@", ""),
-                         r":\d*$", ""))
-    return (F.when(auth != "", host_of(auth))
-            .when(rel_auth != "", host_of(rel_auth))
+    return (F.when(auth != "", strip_host(auth))
+            .when(rel_auth != "", strip_host(rel_auth))
             .otherwise(src_host))
 
 

@@ -173,9 +173,13 @@ def _tag_rows(urls: DataFrame) -> DataFrame:
     """Attach a per-row nonce so the regroup after the rules join
     preserves DUPLICATE url rows (a re-crawl frontier legitimately
     carries the same (host, path) twice; grouping on the visible
-    columns alone would silently collapse them)."""
-    if _RID in urls.columns:
-        raise ValueError(f"reserved column name {_RID!r} in input")
+    columns alone would silently collapse them). Rejects ALL reserved
+    internal names — a clash with the score/prefix columns would
+    corrupt the argmax silently, not just the row identity."""
+    clash = {_RID, _PFX, _ALW, _SCORE} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"reserved column name(s) {sorted(clash)} in input")
     return urls.withColumn(_RID, F.monotonically_increasing_id())
 
 

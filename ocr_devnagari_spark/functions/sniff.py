@@ -11,7 +11,11 @@ PNG/JPEG signature dispatch generalized to a column operator).
 the DuckDB oracle mirror both generate from it, longest-prefix-first so
 overlapping magics (GIF87a vs GIF89a) resolve deterministically. The
 WAV rule is the one non-prefix check (RIFF container + WAVE type at
-byte 9). Unknown payloads → ``application/octet-stream``.
+byte 9). Unknown payloads → ``application/octet-stream``. HTML
+detection covers the real-world case shapes (``<!DOCTYPE``/
+``<!doctype``, ``<html``/``<HTML``); arbitrary mixed-case preambles
+fall through to octet-stream (documented — hex prefixes can't
+case-fold; full sniffing belongs to a decode stage).
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ MAGIC_TABLE = [
     ("89504E470D0A1A0A", "image/png"),
     ("474946383761", "image/gif"),       # GIF87a
     ("474946383961", "image/gif"),       # GIF89a
-    ("3C21444F43", "text/html"),         # <!DOC
+    ("3C21444F43", "text/html"),         # <!DOC (HTML4-era)
+    ("3C21646F63", "text/html"),         # <!doc (the dominant HTML5 form)
     ("3C68746D6C", "text/html"),         # <html
     ("3C48544D4C", "text/html"),         # <HTML
     ("255044462D", "application/pdf"),   # %PDF-

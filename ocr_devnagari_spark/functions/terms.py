@@ -41,8 +41,10 @@ def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     terms = term_rows(df, id_col, text_col)
     n_docs = df.count()
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = (terms.select("id", "term").distinct()
-             .groupBy("term").agg(F.count("*").alias("df")))
+    # df from tf, whose (id, term) rows are already distinct — deriving
+    # it from the exploded term table again would tokenize and shuffle
+    # the corpus (the largest intermediate) a second time
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
     scored = (tf.join(F.broadcast(dfreq), "term")
               .withColumn("score",
@@ -69,8 +71,7 @@ WITH _terms AS (
   WHERE t.term != ''),
 _n AS (SELECT count(*) AS n FROM {table}),
 _tf AS (SELECT id, term, count(*) AS tf FROM _terms GROUP BY id, term),
-_df AS (SELECT term, count(*) AS df
-        FROM (SELECT DISTINCT id, term FROM _terms) GROUP BY term),
+_df AS (SELECT term, count(*) AS df FROM _tf GROUP BY term),
 _scored AS (
   SELECT tf.id, tf.term, tf.tf,
          round(tf.tf * ln(CAST(_n.n AS DOUBLE) / _df.df), 6) AS score

@@ -90,11 +90,17 @@ def url_scheme(col: Column) -> Column:
     return F.lower(F.regexp_extract(col, SCHEME_RE, 1))
 
 
+def strip_host(authority: Column) -> Column:
+    """authority → lowercased host (userinfo and port stripped) — the
+    shared normalization behind ``url_host`` and the link-graph's
+    href-host resolution."""
+    no_user = F.regexp_replace(authority, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(no_user, r":\d*$", ""))
+
+
 def url_host(col: Column) -> Column:
     """Lowercased host without port/userinfo."""
-    auth = F.regexp_extract(col, AUTHORITY_RE, 1)
-    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
-    return F.lower(F.regexp_replace(no_user, r":\d*$", ""))
+    return strip_host(F.regexp_extract(col, AUTHORITY_RE, 1))
 
 
 def url_port(col: Column) -> Column:

@@ -316,6 +316,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    # single-component frames never reach here (dispatched to
+    # _decode_scan_single above), so this is always the 3-component path
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -323,10 +325,6 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
-    if len(comps) == 1:
-        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
-        pixels = [(int(v),) for v in gray.reshape(-1)]
-        return {"width": w, "height": h, "channels": 1, "pixels": pixels}
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -198,8 +198,15 @@ def _lsh_buckets(sig: DataFrame, bands: int, rows: int,
     grp = (banded.groupBy("band_idx", "band_hash")
            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
            .filter(F.size("ids") > 1))
-    grp = _materialize(grp)
     if max_bucket is not None:
+        # materialize ONLY on the capped path: the oversize count and
+        # the downstream consumers then share checkpointed blocks, and
+        # the checkpoint rows are ≤ max_bucket ids each. Uncapped, a
+        # mega-bucket row has unbounded size — exactly what must not
+        # land in a checkpoint — so the lazy table flows through and
+        # callers decide what to truncate (minhash_dedup checkpoints
+        # the PAIR set instead on that path).
+        grp = _materialize(grp)
         n = grp.filter(F.size("ids") > max_bucket).count()
         if n:
             log.warning(
@@ -269,6 +276,11 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     # bucket is in ≥1 pair), never from re-expanding pairs.
     grp = _lsh_buckets(sig, bands, rows, max_bucket)
     cand = _expand_bucket_pairs(grp)       # cross-band dupes possible
+    if max_bucket is None:
+        # uncapped: the bucket table deliberately stayed lazy (a
+        # mega-bucket row must not land in a checkpoint), so truncate
+        # lineage at the PAIR set instead for the multi-consumer plans
+        cand = _materialize(cand)
     if verify == "estimate":
         cand = cand.distinct()
         sa = sig.select(F.col("id").alias("id_a"),
@@ -283,7 +295,13 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                 .select("id_a", "id_b", "jaccard"))
     if verify != "exact":
         raise ValueError(f"unknown verify mode {verify!r}")
-    ids = grp.select(F.explode("ids").alias(id_col)).distinct()
+    if max_bucket is not None:
+        # capped: bucket membership IS the candidate-id set, read from
+        # the checkpointed bucket table with no pair expansion
+        ids = grp.select(F.explode("ids").alias(id_col)).distinct()
+    else:
+        ids = (cand.select(F.col("id_a").alias(id_col))
+               .union(cand.select("id_b")).distinct())
     subset = df.join(ids, id_col, "left_semi")
     verified = jaccard_pairs(subset, id_col, text_col, n, threshold,
                              max_df=verify_max_df)
