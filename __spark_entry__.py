@@ -538,6 +538,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
     q["tfidf_top_terms"] = tfidf_top_terms
 
+    def sitemap_extract(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import sitemap_locs
+        d = _t(spark, sf_dir, "documents")
+        sid = F.col("doc_id").cast("string")
+        xml = F.concat(
+            F.lit("<urlset><url><loc>https://s"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"), sid,
+            F.lit("</loc></url><url><loc>\n  https://mirror.org/"), sid,
+            F.lit("  \n</loc></url></urlset>"))
+        return d.select("doc_id",
+                        F.explode(sitemap_locs(xml)).alias("loc"))
+    q["sitemap_extract"] = sitemap_extract
+
+    # ---- frontier expansion: links → canonicalize → anti-join the
+    #      crawled set (the ops composing into the actual crawl loop) --
+    def frontier_expand(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import link_rows
+        from ocr_devnagari_spark.functions.url import (
+            canonicalize_url,
+            url_host,
+        )
+        d = _t(spark, sf_dir, "documents")
+        pages = d.select("doc_id", _linky_html().alias("html"),
+                         F.lit("x").alias("url"))
+        cand = (link_rows(pages)
+                .filter(F.col("href").startswith("https://"))
+                .select(canonicalize_url(F.col("href")).alias("curl"))
+                .distinct())
+        crawled = (d.filter(F.col("doc_id") % 2 == 0)
+                   .select(canonicalize_url(F.concat(
+                       F.lit("https://h"),
+                       (F.col("doc_id") % 9).cast("string"),
+                       F.lit(".example.com/p/"),
+                       F.col("doc_id").cast("string"))).alias("curl")))
+        frontier = cand.join(crawled, "curl", "left_anti")
+        return (frontier.select(url_host(F.col("curl")).alias("host"))
+                .groupBy("host").agg(F.count("*").alias("n_new")))
+    q["frontier_expand"] = frontier_expand
+
     # ---- content sniffing: hex classifier (oracle-checked) ----
     def sniff_mime_hex(spark, sf_dir):
         from ocr_devnagari_spark.functions.sniff import classify_hex
@@ -1332,6 +1372,44 @@ r{i} AS (
             + f" SELECT host, pr FROM r{iterations}")
 
 
+def _sitemap_sql() -> str:
+    from ocr_devnagari_spark.functions.links import SITEMAP_LOC_RE
+    xml = ("'<urlset><url><loc>https://s' || "
+           "CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || "
+           "CAST(doc_id AS VARCHAR) || '</loc></url><url><loc>' || "
+           "chr(10) || '  https://mirror.org/' || "
+           "CAST(doc_id AS VARCHAR) || '  ' || chr(10) || "
+           "'</loc></url></urlset>'")
+    return (f"SELECT doc_id, t.loc FROM (SELECT doc_id, "
+            f"regexp_extract_all({xml}, '{_sq(SITEMAP_LOC_RE)}', 1) "
+            f"AS ls FROM documents), LATERAL unnest(ls) AS t(loc)")
+
+
+def _frontier_sql() -> str:
+    """Composition mirror: link extraction → canonicalization →
+    anti-join against the crawled set → per-host new-frontier counts,
+    each stage the same generated SQL the standalone oracles use."""
+    from ocr_devnagari_spark.functions.links import HREF_RE
+    crawled_u = ("('https://h' || CAST(doc_id % 9 AS VARCHAR) || "
+                 "'.example.com/p/' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH _pages AS (SELECT doc_id, {_LINKY_HTML_SQL} AS html FROM documents),
+_links AS (SELECT t.href
+           FROM (SELECT regexp_extract_all(html, '{_sq(HREF_RE)}', 1)
+                 AS hs FROM _pages),
+                LATERAL unnest(hs) AS t(href)),
+_cand AS (SELECT DISTINCT {_url_canon_sql('href')} AS curl
+          FROM _links WHERE starts_with(href, 'https://')),
+_crawled AS (SELECT {_url_canon_sql(crawled_u)} AS curl
+             FROM documents WHERE doc_id % 2 = 0),
+_frontier AS (SELECT curl FROM _cand
+              WHERE curl NOT IN (SELECT curl FROM _crawled))
+SELECT {_url_host_sql('curl')} AS host,
+       CAST(count(*) AS BIGINT) AS n_new
+FROM _frontier GROUP BY host
+"""
+
+
 def _sniff_hex_sql() -> str:
     """DuckDB mirror of the sniff_mime_hex driver query — hex synth via
     upper(to_hex)+lpad, classifier generated from the same
@@ -1512,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_host_edges_sql()}, {_pagerank_sql(10)}"),
         "tfidf_top_terms": tfidf_topk_sql(3),
         "sniff_mime_hex": _sniff_hex_sql(),
+        "sitemap_extract": _sitemap_sql(),
+        "frontier_expand": _frontier_sql(),
         # bucketing is a physical property — the logical result is a
         # plain 1:1 self-join ≡ one aggregation over documents
         "bucketed_join_stats": (

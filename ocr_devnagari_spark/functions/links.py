@@ -36,10 +36,21 @@ from .url import AUTHORITY_RE, strip_host
 
 HREF_RE = r"(?i)<a\s[^>]*href\s*=\s*[\"']([^\"'<>\s]+)"
 
+# sitemap.org protocol: <loc> children of <url>/<sitemap>; whitespace
+# around the URL is explicitly allowed by the spec and trimmed here
+SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<\s]+)\s*</loc>"
+
 
 def extract_links(html: Column) -> Column:
     """array<string> of href values from anchor tags."""
     return F.regexp_extract_all(html, F.lit(HREF_RE), 1)
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """array<string> of ``<loc>`` URLs from a sitemap.org XML document
+    (also matches sitemap-index files — their ``<sitemap><loc>`` shape
+    uses the same element)."""
+    return F.regexp_extract_all(xml, F.lit(SITEMAP_LOC_RE), 1)
 
 
 def link_rows(df: DataFrame, url_col: str = "url",

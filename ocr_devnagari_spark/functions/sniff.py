@@ -35,11 +35,21 @@ MAGIC_TABLE = [
     ("255044462D", "application/pdf"),   # %PDF-
     ("504B0304", "application/zip"),
     ("FFD8FF", "image/jpeg"),
+    ("00000100", "image/x-icon"),
     ("1F8B", "application/gzip"),
 ]
 
 _RIFF = "52494646"                        # 'RIFF'
-_WAVE = "57415645"                        # 'WAVE' at byte offset 8
+
+# container rules: (required prefix or None, 1-based hex-char offset,
+# hex value at that offset, mime) — checked BEFORE the prefix table
+# (an MP4 with leading box size 0x00000100 must beat ICO's weak magic);
+# a RIFF payload that is neither WAVE nor WEBP stays octet-stream
+CONTAINER_RULES = [
+    (_RIFF, 17, "57415645", "audio/wav"),    # RIFF....WAVE
+    (_RIFF, 17, "57454250", "image/webp"),   # RIFF....WEBP
+    (None, 9, "66747970", "video/mp4"),      # ....ftyp (ISO BMFF)
+]
 
 SNIFF_PREFIX_BYTES = 12                   # covers every rule above
 
@@ -53,15 +63,18 @@ def classify_hex(sig: Column) -> Column:
     """MIME from an uppercase-hex prefix string (the shared classifier
     — also applied to hex strings directly, which is what makes the
     logic DuckDB-oracle-checkable without synthesizing binary)."""
+    # containers FIRST: an MP4 whose leading box size is 0x00000100
+    # would otherwise be eaten by ICO's (genuinely weak) 00000100 magic
     expr = None
-    for prefix, mime in sorted(MAGIC_TABLE,
-                               key=lambda t: -len(t[0])):
-        cond = F.startswith(sig, F.lit(prefix))
+    for prefix, off, val, mime in CONTAINER_RULES:
+        cond = F.substring(sig, off, len(val)) == val
+        if prefix is not None:
+            cond = F.startswith(sig, F.lit(prefix)) & cond
         expr = (F.when(cond, mime) if expr is None
                 else expr.when(cond, mime))
-    wav = (F.startswith(sig, F.lit(_RIFF))
-           & (F.substring(sig, 17, 8) == _WAVE))
-    expr = expr.when(wav, "audio/wav")
+    for prefix, mime in sorted(MAGIC_TABLE,
+                               key=lambda t: -len(t[0])):
+        expr = expr.when(F.startswith(sig, F.lit(prefix)), mime)
     return expr.otherwise("application/octet-stream")
 
 
@@ -73,10 +86,14 @@ def sniff_mime(payload: Column) -> Column:
 def classify_hex_sql(sig: str) -> str:
     """DuckDB mirror of ``classify_hex``, generated from the same
     ``MAGIC_TABLE`` (longest-first order preserved)."""
-    whens = "".join(
+    whens = ""
+    for prefix, off, val, mime in CONTAINER_RULES:
+        cond = f"substring({sig}, {off}, {len(val)}) = '{val}'"
+        if prefix is not None:
+            cond = f"starts_with({sig}, '{prefix}') AND {cond}"
+        whens += f"WHEN {cond} THEN '{mime}' "
+    whens += "".join(
         f"WHEN starts_with({sig}, '{prefix}') THEN '{mime}' "
         for prefix, mime in sorted(MAGIC_TABLE, key=lambda t: -len(t[0])))
-    wav = (f"WHEN starts_with({sig}, '{_RIFF}') "
-           f"AND substring({sig}, 17, 8) = '{_WAVE}' THEN 'audio/wav' ")
-    return (f"CASE {whens}{wav}"
+    return (f"CASE {whens}"
             f"ELSE 'application/octet-stream' END")

@@ -37,12 +37,19 @@ def test_sniff_real_payloads(spark):
         (8, b"\x1f\x8b\x08gz", "application/gzip"),
         (9, b"<!DOCTYPE html><p>x</p>", "text/html"),
         (10, b"<html><body>y</body>", "text/html"),
-        # RIFF but NOT WAVE (an AVI) is not audio/wav
+        # RIFF but NOT WAVE/WEBP (an AVI) is not audio/wav
         (11, b"RIFF\x10\x00\x00\x00AVI LIST", "application/octet-stream"),
         (12, b"just plain bytes", "application/octet-stream"),
         (13, b"", "application/octet-stream"),
         # JPEG magic is only 3 bytes - any FFD8FF marker variant
         (14, b"\xff\xd8\xff\xdb\x00C", "image/jpeg"),
+        (15, b"RIFF\x24\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (16, b"\x00\x00\x00\x20ftypisom\x00\x00", "video/mp4"),
+        (17, b"\x00\x00\x01\x00\x02\x00\x10\x10", "image/x-icon"),
+        # MP4 whose box size collides with ICO's weak magic: the
+        # container rule must win
+        (18, b"\x00\x00\x01\x00ftypmp42\x00\x00", "video/mp4"),
+        (19, b"<!doctype html><p>z</p>", "text/html"),
     ]
     df = spark.createDataFrame([(i, p) for i, p, _ in cases],
                                "id long, payload binary")
@@ -67,7 +74,8 @@ def test_classifier_matches_duckdb_mirror(spark):
 
     sigs = [p for p, _ in MAGIC_TABLE]
     sigs += ["52494646AABBCCDD57415645", "52494646AABBCCDD41564920",
-             "FFD8F0", "89504E47", "00FFD8FF", ""]
+             "52494646AABBCCDD57454250", "000000206674797069736F6D",
+             "0000010066747970", "FFD8F0", "89504E47", "00FFD8FF", ""]
     df = spark.createDataFrame([(s,) for s in sigs], "sig string")
     got = [r.m for r in
            df.select(classify_hex(F.col("sig")).alias("m")).collect()]
