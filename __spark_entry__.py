@@ -221,7 +221,8 @@ _LINKY_HTML_SQL = (
 _ROBOTS_CORPUS = [
     ("h0", "User-agent: *\nDisallow: /private\nDisallow: /tmp\n"
            "Allow: /private/p1\nCrawl-delay: 2"),
-    ("h1", "User-agent: googlebot\nUser-agent: *\nDisallow: /admin"),
+    ("h1", "User-agent: googlebot\nUser-agent: *\nDisallow: /admin\n"
+           "Disallow: /public/*7$"),
     ("h2", "User-agent: googlebot\nDisallow: /only-google"),
     ("h3", "# comment\nUser-agent: *\nDisallow:\nCrawl-delay: 0.5"),
     ("h4", "User-agent: *\r\nDisallow: /a # trailing\r\n"),
@@ -1268,10 +1269,25 @@ def _robots_rules_sql() -> str:
     return f"WITH {_robots_body_sql()} SELECT host, prefix FROM _rules"
 
 
+def _rule_regex_sql(p: str) -> str:
+    """DuckDB mirror of functions.robots.rule_regex — same escape chain
+    (backslash first), '*' → '.*', trailing '$' anchors."""
+    from ocr_devnagari_spark.functions.robots import RULE_ESCAPE_CHARS
+    body = (f"(CASE WHEN ends_with({p}, '$') "
+            f"THEN substring({p}, 1, length({p}) - 1) ELSE {p} END)")
+    for ch in RULE_ESCAPE_CHARS:
+        lit = ch.replace("'", "''")
+        body = f"replace({body}, '{lit}', '\\{lit}')"
+    body = f"replace({body}, '*', '.*')"
+    return (f"('^' || {body} || "
+            f"(CASE WHEN ends_with({p}, '$') THEN '$' ELSE '' END))")
+
+
 def _robots_gate_sql() -> str:
     # RFC 9309 precedence, same integer argmax as match_policy:
-    # winning rule = max(2*len(prefix) + allow); disallowed when a rule
-    # matched and the winner is a Disallow (even score)
+    # winning rule = max(2*len(rule) + allow); disallowed when a rule
+    # matched and the winner is a Disallow (even score); rules compile
+    # to anchored regexes (wildcard support) exactly like rule_regex
     return f"""
 WITH {_robots_body_sql()},
 _urls AS (
@@ -1281,7 +1297,8 @@ _urls AS (
 _m AS (
   SELECT u.doc_id, u.host,
          max(CASE WHEN r.prefix IS NOT NULL
-                   AND starts_with(u.path, r.prefix)
+                   AND regexp_matches(u.path,
+                                      {_rule_regex_sql('r.prefix')})
              THEN 2 * length(r.prefix) + CAST(r.allow AS INT) END) AS score
   FROM _urls u LEFT JOIN _policies r ON r.host = u.host
   GROUP BY u.doc_id, u.host, u.path)

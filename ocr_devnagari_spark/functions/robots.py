@@ -26,10 +26,18 @@ tie Allow beats Disallow (``parse_robots_policies`` +
 portable to the DuckDB oracle). ``match_disallowed`` keeps the
 conservative Disallow-only reading for callers that want it.
 
-Documented simplifications: no ``$``/``*`` wildcards inside rule paths
-(matched literally as prefixes), and agent-specific groups other than
-``*`` are ignored (a trainer's crawler should follow the generic group
-unless it announces a product token).
+``match_policy`` supports the ``*`` and end-anchor ``$`` wildcards
+(RFC 9309 §2.2.3, crawlers SHOULD implement them) by compiling each
+rule row into an anchored regex COLUMN — regex specials escaped via a
+constant replace chain, ``*`` → ``.*``, a trailing ``$`` anchors —
+mirrored operation-for-operation in the SQL oracle. Rule "length" for
+precedence is the raw rule string's length, wildcards included (the
+RFC's octet count). ``wildcards=False`` restores plain prefix
+matching.
+
+Documented simplification: agent-specific groups other than ``*`` are
+ignored (a trainer's crawler should follow the generic group unless it
+announces a product token).
 """
 
 from __future__ import annotations
@@ -125,23 +133,50 @@ def parse_robots_policies(df: DataFrame, host_col: str = "host",
             .distinct())
 
 
+# regex metacharacters escaped when compiling a rule into a pattern —
+# backslash FIRST (escaping later chars introduces backslashes), '$' is
+# escaped here because the trailing anchor is stripped beforehand, '*'
+# is deliberately absent (it becomes '.*' afterwards)
+RULE_ESCAPE_CHARS = ["\\", ".", "^", "$", "+", "?", "(", ")", "[", "]",
+                     "{", "}", "|"]
+
+
+def rule_regex(prefix: Column) -> Column:
+    """robots rule path → anchored regex (as a COLUMN — rules are data
+    rows, not plan constants): ``/p*.x$`` → ``^/p.*\\.x$``."""
+    anchored = F.endswith(prefix, F.lit("$"))
+    body = F.when(anchored,
+                  prefix.substr(F.lit(1), F.length(prefix) - 1)) \
+        .otherwise(prefix)
+    for ch in RULE_ESCAPE_CHARS:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), body,
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
+
 def match_policy(urls: DataFrame, policies: DataFrame,
                  host_col: str = "host",
-                 path_col: str = "path") -> DataFrame:
+                 path_col: str = "path",
+                 wildcards: bool = True) -> DataFrame:
     """urls + ``disallowed`` under RFC 9309 precedence: among matching
-    prefixes the longest rule wins, Allow beating Disallow on a length
-    tie. The argmax is ``max(2·len(prefix) + is_allow)`` — a plain
-    integer max, so the DuckDB oracle states the identical formula.
-    Same broadcast shape as ``match_disallowed``; duplicate input rows
-    are preserved 1:1."""
+    rules the longest wins, Allow beating Disallow on a length tie.
+    The argmax is ``max(2·len(rule) + is_allow)`` — a plain integer
+    max, so the DuckDB oracle states the identical formula. With
+    ``wildcards`` (default), rules compile to anchored regexes
+    (``rule_regex``) and match via RLIKE-with-column-pattern; without,
+    plain prefix matching. Same broadcast shape as
+    ``match_disallowed``; duplicate input rows are preserved 1:1."""
     tagged = _tag_rows(urls)
     r = policies.select(F.col("host").alias(host_col),
                         F.col("prefix").alias(_PFX),
                         F.col("allow").alias(_ALW))
-    score = F.when(
-        F.col(_PFX).isNotNull()
-        & F.col(path_col).startswith(F.col(_PFX)),
-        F.length(_PFX) * 2 + F.col(_ALW).cast("int"))
+    if wildcards:
+        hit = F.rlike(F.col(path_col), rule_regex(F.col(_PFX)))
+    else:
+        hit = F.col(path_col).startswith(F.col(_PFX))
+    score = F.when(F.col(_PFX).isNotNull() & hit,
+                   F.length(_PFX) * 2 + F.col(_ALW).cast("int"))
     j = (tagged.join(F.broadcast(r), host_col, "left")
          .withColumn(_SCORE, score))
     return (j.groupBy(_RID, *urls.columns)

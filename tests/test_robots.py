@@ -127,3 +127,40 @@ def test_allow_precedence_rfc9309(spark):
     got = {r.id: r.disallowed
            for r in match_policy(urls, pol).collect()}
     assert got == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_wildcard_rules_rfc9309(spark):
+    """'*' and end-anchor '$' in rule paths (RFC 9309 §2.2.3) — and
+    regex metacharacters in rules stay literal."""
+    from ocr_devnagari_spark.functions.robots import (
+        match_policy,
+        parse_robots_policies,
+    )
+
+    robots = spark.createDataFrame(
+        [("hW", "User-agent: *\nDisallow: /*.json$\nDisallow: /tmp/*\n"
+                "Disallow: /exact$\nDisallow: /a+b\nAllow: /tmp/ok")],
+        "host string, robots_txt string")
+    pol = parse_robots_policies(robots)
+    urls = spark.createDataFrame(
+        [(1, "hW", "/data/feed.json"),      # /*.json$ matches
+         (2, "hW", "/data/feed.json5"),     # $ anchor: no match
+         (3, "hW", "/tmp/file"),            # /tmp/* matches
+         (4, "hW", "/tmp/ok/x"),            # Allow /tmp/ok longer raw? no:
+         #                                    len('/tmp/ok')=7 vs '/tmp/*'=6
+         (5, "hW", "/exact"),               # /exact$ matches exactly
+         (6, "hW", "/exactly"),             # $ anchor: no match
+         (7, "hW", "/a+b"),                 # '+' literal, matches
+         (8, "hW", "/aab")],                # would match if + were regex
+        "id long, host string, path string")
+    got = {r.id: r.disallowed
+           for r in match_policy(urls, pol).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: False, 7: True, 8: False}
+    # wildcards=False: literal prefix semantics (old behaviour)
+    got_plain = {r.id: r.disallowed
+                 for r in match_policy(urls, pol,
+                                       wildcards=False).collect()}
+    assert got_plain[1] is False            # '/*.json$' no longer matches
+    assert got_plain[3] is False            # '/tmp/*' is not a prefix of
+    #                                         '/tmp/file' literally
