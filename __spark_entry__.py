@@ -539,6 +539,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
     q["tfidf_top_terms"] = tfidf_top_terms
 
+    def politeness_schedule_q(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import (
+            crawl_delays,
+            politeness_schedule,
+        )
+        d = _t(spark, sf_dir, "documents")
+        urls = d.select(F.concat(F.lit("h"),
+                                 (F.col("doc_id") % 6).cast("string"))
+                        .alias("host"),
+                        _synthetic_path().alias("path"))
+        delays = crawl_delays(_robots_corpus_df(spark))
+        return politeness_schedule(urls, delays)
+    q["politeness_schedule"] = politeness_schedule_q
+
     def sitemap_extract(spark, sf_dir):
         from ocr_devnagari_spark.functions.links import sitemap_locs
         d = _t(spark, sf_dir, "documents")
@@ -1389,6 +1403,30 @@ r{i} AS (
             + f" SELECT host, pr FROM r{iterations}")
 
 
+def _politeness_sql() -> str:
+    from ocr_devnagari_spark.functions.robots import CRAWL_DELAY_LINE_RE
+    cd = _sq(CRAWL_DELAY_LINE_RE)
+    return f"""
+WITH {_robots_body_sql()},
+_delays AS (
+  SELECT g.host,
+         max(CAST(regexp_extract(g.line, '{cd}', 1) AS DOUBLE))
+         AS crawl_delay
+  FROM _grp g JOIN _star s ON s.host = g.host AND s.grp = g.grp
+  WHERE s.star AND regexp_matches(g.line, '{cd}')
+  GROUP BY g.host),
+_urls AS (
+  SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+         {_SYNTHETIC_PATH_SQL} AS path
+  FROM documents)
+SELECT u.host, u.path,
+       round((row_number() OVER (PARTITION BY u.host ORDER BY u.path)
+              - 1) * coalesce(d.crawl_delay, CAST(1.0 AS DOUBLE)), 6)
+       AS fetch_offset_sec
+FROM _urls u LEFT JOIN _delays d ON d.host = u.host
+"""
+
+
 def _sitemap_sql() -> str:
     from ocr_devnagari_spark.functions.links import SITEMAP_LOC_RE
     xml = ("'<urlset><url><loc>https://s' || "
@@ -1608,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": tfidf_topk_sql(3),
         "sniff_mime_hex": _sniff_hex_sql(),
         "sitemap_extract": _sitemap_sql(),
+        "politeness_schedule": _politeness_sql(),
         "frontier_expand": _frontier_sql(),
         # bucketing is a physical property — the logical result is a
         # plain 1:1 self-join ≡ one aggregation over documents

@@ -185,6 +185,29 @@ def match_policy(urls: DataFrame, policies: DataFrame,
             .drop(_RID))
 
 
+def politeness_schedule(urls: DataFrame, delays: DataFrame,
+                        host_col: str = "host",
+                        path_col: str = "path",
+                        default_delay: float = 1.0) -> DataFrame:
+    """urls + ``fetch_offset_sec``: the earliest polite fetch time per
+    URL relative to its host's first request — position within the host
+    (deterministic ``path`` order) × the host's Crawl-delay
+    (``default_delay`` where the host sets none). One window over
+    (host, path) plus a broadcast join of the tiny delays table: the
+    planner's answer to 'schedule a 10^12-row frontier without
+    hammering any host', and the composition target for
+    ``crawl_delays`` + ``frontier_expand``."""
+    w = Window.partitionBy(host_col).orderBy(path_col)
+    d = delays.select(F.col("host").alias(host_col), "crawl_delay")
+    return (urls.join(F.broadcast(d), host_col, "left")
+            .withColumn(
+                "fetch_offset_sec",
+                F.round((F.row_number().over(w) - 1)
+                        * F.coalesce("crawl_delay",
+                                     F.lit(float(default_delay))), 6))
+            .drop("crawl_delay"))
+
+
 def crawl_delays(df: DataFrame, host_col: str = "host",
                  body_col: str = "robots_txt") -> DataFrame:
     """(host, crawl_delay): seconds for the ``*`` group; hosts that set

@@ -164,3 +164,22 @@ def test_wildcard_rules_rfc9309(spark):
     assert got_plain[1] is False            # '/*.json$' no longer matches
     assert got_plain[3] is False            # '/tmp/*' is not a prefix of
     #                                         '/tmp/file' literally
+
+
+def test_politeness_schedule(spark):
+    """Offsets = position-within-host × host delay, default 1.0 for
+    hosts with no Crawl-delay; deterministic path order."""
+    from ocr_devnagari_spark.functions.robots import politeness_schedule
+
+    delays = spark.createDataFrame([("h0", 2.0), ("h3", 0.5)],
+                                   "host string, crawl_delay double")
+    urls = spark.createDataFrame(
+        [("h0", "/b"), ("h0", "/a"), ("h0", "/c"),
+         ("h3", "/x"), ("h3", "/y"), ("h9", "/p"), ("h9", "/q")],
+        "host string, path string")
+    got = {(r.host, r.path): r.fetch_offset_sec
+           for r in politeness_schedule(urls, delays).collect()}
+    assert got == {("h0", "/a"): 0.0, ("h0", "/b"): 2.0,
+                   ("h0", "/c"): 4.0,
+                   ("h3", "/x"): 0.0, ("h3", "/y"): 0.5,
+                   ("h9", "/p"): 0.0, ("h9", "/q"): 1.0}
