@@ -781,6 +781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_bucket_topk(e, qvec, k=10, n_planes=6)
     q["sim_ann_lsh"] = sim_ann_lsh
 
+    # ---- similarity: IVF coarse-quantizer ANN (rows-only; recall +
+    #      exact-rerank pytest oracle) ----
+    def sim_ivf_topk(spark, sf_dir):
+        from ocr_devnagari_spark.operators.similarity import ivf_topk
+        e = _t(spark, sf_dir, "embeddings")
+        qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+        return ivf_topk(e, qvec, k=10, n_centroids=8, nprobe=3,
+                        iterations=2)
+    q["sim_ivf_topk"] = sim_ivf_topk
+
     # ---- similarity: embedding near-dup self-join (rows-only) ----
     def sim_knn_pairs(spark, sf_dir):
         e = _t(spark, sf_dir, "embeddings")

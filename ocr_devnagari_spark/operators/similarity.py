@@ -343,6 +343,101 @@ def ann_index_topk(spark, index_dir: str, query_vec, k: int = 10,
                     F.round("_cos", 6).alias("cosine")))
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 16, iterations: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list:
+    """Lloyd's k-means over the embedding table → k centroid vectors
+    (plain Python lists, driver-side: k×dim floats — the model is tiny
+    even at 10^12 rows; the DATA never leaves executors).
+
+    Deterministic: init = the k lowest-``id_col`` vectors; assignment
+    ties break toward the lowest centroid index (numpy argmin). Each
+    iteration is ONE Arrow-batched assignment pass (centroids ride the
+    UDF closure — broadcast-by-serialization) plus one JVM
+    explode→groupBy(cluster, dim) mean; k·dim aggregate rows come back
+    to the driver per iteration, never data rows. An empty cluster
+    keeps its previous centroid (the standard fallback)."""
+    import numpy as np
+
+    init = (emb.orderBy(id_col).limit(k)
+            .select(vec_col).collect())
+    cents = [list(map(float, r[0])) for r in init]
+    if not cents:
+        raise ValueError("cannot cluster an empty embedding table")
+    dim = len(cents[0])
+    for _ in range(iterations):
+        assigned = _assign_stage(emb, cents, id_col, vec_col)
+        means = (assigned
+                 .select("cluster", F.posexplode(
+                     F.col(vec_col).cast("array<double>"))
+                     .alias("dim", "v"))
+                 .groupBy("cluster", "dim").agg(F.avg("v").alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]          # empty-cluster fallback
+        for r in means:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        cents = new
+    assert all(len(c) == dim for c in cents)
+    return cents
+
+
+def _assign_stage(emb: DataFrame, cents: list, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """emb + ``cluster`` (nearest centroid by L2, lowest index wins) —
+    one vectorized pandas pass, centroids in the closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.array(cents, dtype=np.float64)        # k × dim
+
+    def nearest(vecs):
+        m = np.array(vecs.tolist(), dtype=np.float64)       # n × dim
+        # |x-c|² = |x|² - 2x·c + |c|²; |x|² is rank-constant → drop
+        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` turns inline hints into strings pyspark can't
+    # resolve against this local scope
+    nearest.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    nearest_udf = pandas_udf(nearest, "int")
+    return emb.withColumn("cluster", nearest_udf(F.col(vec_col)))
+
+
+def ivf_topk(emb: DataFrame, query_vec, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             iterations: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: list | None = None) -> DataFrame:
+    """IVF approximate nearest-neighbour: k-means coarse quantizer →
+    probe the ``nprobe`` centroids nearest the query → exact cosine
+    re-rank inside the probed cells (the FAISS IVF-Flat construction,
+    on DataFrames). Complements ``lsh_bucket_topk``: IVF adapts its
+    partitioning to the data distribution where LSH planes are
+    data-oblivious. At scale, build ``centroids`` ONCE (pass the list —
+    the train cost amortizes over all queries, the ``build_ann_index``
+    discipline) and materialize ``cluster`` as a partition column so a
+    query prunes to nprobe/n_centroids of the files."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, n_centroids, iterations,
+                                     id_col, vec_col)
+    import numpy as np
+    c = np.array(centroids, dtype=np.float64)
+    q = np.array(list(map(float, query_vec)), dtype=np.float64)
+    d = ((c - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    assigned = _assign_stage(emb, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    v = F.col(vec_col).cast("array<double>")
+    return (cand.select(F.col(id_col),
+                        cosine_col(v, _query_lit(query_vec))
+                        .alias("_cos"))
+            .orderBy(F.desc("_cos"), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("_cos", 6).alias("cosine")))
+
+
 def label_centroids(emb: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

@@ -273,3 +273,42 @@ def test_ann_index_legacy_pointer_migrates(spark, emb, tmp_path):
     assert len(markers) == 2 and markers[0].endswith(version)
     assert os.path.isdir(os.path.join(vdir, "data"))
     assert len(want) == 5
+
+
+def test_ivf_topk_recall_and_exact_rerank(spark, emb, emb_np):
+    """IVF: probed-cell candidates, exact cosine re-rank — every
+    returned score equals brute force, recall has a sane floor, and
+    nprobe=n_centroids degenerates to EXACT top-k."""
+    from ocr_devnagari_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    ids, m = emb_np
+    q = m[ids == 7][0]
+    cents = kmeans_centroids(emb, k=8, iterations=3)
+    got = ivf_topk(emb, q, k=10, nprobe=2, centroids=cents).collect()
+    assert 0 < len(got) <= 10
+    cos_all = dict(_brute_topk(ids, m, q, len(ids)))
+    for r in got:
+        assert abs(r.cosine - cos_all[r.vec_id]) < 1e-5
+    want10 = {w[0] for w in _brute_topk(ids, m, q, 10)}
+    recall = len(want10 & {r.vec_id for r in got}) / 10
+    assert recall >= 0.3
+    # full probe = exact
+    full = [(r.vec_id, r.cosine)
+            for r in ivf_topk(emb, q, k=10, nprobe=8,
+                              centroids=cents).collect()]
+    brute = _brute_topk(ids, m, q, 10)
+    assert [f[0] for f in full] == [b[0] for b in brute]
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, emb):
+    from ocr_devnagari_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(emb, k=4, iterations=2)
+    b = kmeans_centroids(emb, k=4, iterations=2)
+    assert len(a) == 4 and len(a[0]) == 64
+    # deterministic across runs up to float-sum noise in the JVM means
+    import numpy as np
+    assert np.allclose(np.array(a), np.array(b), atol=1e-9)
