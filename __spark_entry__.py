@@ -243,6 +243,73 @@ def _robots_corpus_sql() -> str:
     return f"(VALUES {rows}) AS _r(host, robots_txt)"
 
 
+def _pii_text() -> F.Column:
+    """Deterministic PII spikes over documents.text — every detector
+    family (email / phone / IPv4) gets signal on the driver corpus,
+    plus an untouched residue class."""
+    sid = F.col("doc_id").cast("string")
+    return (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.col("text"), F.lit(" contact user"), sid,
+                            F.lit("@example.com now")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.col("text"), F.lit(" call +12 345-67"),
+                           F.lpad((F.col("doc_id") % 100).cast("string"),
+                                  2, "0"),
+                           F.lit(" ok")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.col("text"), F.lit(" from 10.0."),
+                           (F.col("doc_id") % 256).cast("string"),
+                           F.lit(".7 logged")))
+            .otherwise(F.col("text")))
+
+
+_PII_TEXT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN doc_id % 4 = 1 THEN text || ' call +12 345-67' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ok' "
+    "WHEN doc_id % 4 = 2 THEN text || ' from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 logged' "
+    "ELSE text END")
+
+
+def _para_text() -> F.Column:
+    """documents.text extended to a 3-paragraph page: unique body +
+    per-source boilerplate + global footer — the shape paragraph-dedup
+    exists for."""
+    return F.concat(F.col("text"), F.lit("\nsubscribe to "),
+                    F.col("source"), F.lit(" updates"),
+                    F.lit("\ncopyright footer"))
+
+
+_PARA_TEXT_SQL = ("text || chr(10) || 'subscribe to ' || source || "
+                  "' updates' || chr(10) || 'copyright footer'")
+
+
+def _anchor_html() -> F.Column:
+    """Deterministic anchor tags WITH visible text: one absolute link
+    (host from doc_id) with nested markup in the anchor, one relative
+    link — exercises inner-tag stripping, whitespace collapsing and
+    dst-host resolution."""
+    sid = F.col("doc_id").cast("string")
+    h1 = (F.col("doc_id") % 9).cast("string")
+    return F.concat(
+        F.lit('<html><a href="https://h'), h1,
+        F.lit('.example.com/p/'), sid,
+        F.lit('">Read  <b>more</b> news '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a> <a href="/local/'), sid,
+        F.lit('">home page</a></html>'))
+
+
+_ANCHOR_HTML_SQL = (
+    "'<html><a href=\"https://h' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.example.com/p/' || CAST(doc_id AS VARCHAR) || "
+    "'\">Read  <b>more</b> news ' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'</a> <a href=\"/local/' || CAST(doc_id AS VARCHAR) || "
+    "'\">home page</a></html>'")
+
+
 _MESSY_URL_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
     "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
@@ -1012,6 +1079,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_bytes")
     q["multimodal_audio_decode"] = multimodal_audio_decode
 
+    # ---- Gopher A1.1 repetition signals (within-doc n-gram stats) ----
+    def repetition_gate(spark, sf_dir):
+        from ocr_devnagari_spark.functions.repetition import (
+            gopher_repetition_pass,
+        )
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return gopher_repetition_pass(d)
+    q["repetition_gate"] = repetition_gate
+
+    # ---- PII scrub: count + redact over deterministically spiked text
+    def pii_scrub(spark, sf_dir):
+        from ocr_devnagari_spark.functions import pii
+        d = _t(spark, sf_dir, "documents")
+        t = _pii_text()
+        return d.select(
+            "doc_id",
+            pii.email_count(t).alias("n_email"),
+            pii.ipv4_count(t).alias("n_ip"),
+            pii.phone_count(t).alias("n_phone"),
+            pii.redact_pii(t).alias("redacted"))
+    q["pii_scrub"] = pii_scrub
+
+    # ---- CCNet-family paragraph dedup (boilerplate removal mode) ----
+    def para_dedup(spark, sf_dir):
+        from ocr_devnagari_spark.operators.paragraphs import paragraph_dedup
+        d = _t(spark, sf_dir, "documents")
+        docs = d.select("doc_id", _para_text().alias("text"))
+        return paragraph_dedup(docs, max_docs=1)
+    q["para_dedup"] = para_dedup
+
+    # ---- CCNet global-first paragraph dedup over the same corpus ----
+    def para_dedup_first(spark, sf_dir):
+        from ocr_devnagari_spark.operators.paragraphs import paragraph_dedup
+        d = _t(spark, sf_dir, "documents")
+        docs = d.select("doc_id", _para_text().alias("text"))
+        return paragraph_dedup(docs, keep="first")
+    q["para_dedup_first"] = para_dedup_first
+
+    # ---- eval-set decontamination (8-gram overlap, broadcast eval) ----
+    def decontaminate(spark, sf_dir):
+        from ocr_devnagari_spark.operators.paragraphs import (
+            ngram_contamination,
+        )
+        d = _t(spark, sf_dir, "documents")
+        ev = d.filter(F.col("doc_id") % 101 == 0).select("text")
+        corpus = d.filter(F.col("doc_id") % 101 != 0)
+        return ngram_contamination(corpus, ev, n=8, broadcast_eval=True)
+    q["decontaminate"] = decontaminate
+
+    # ---- anchor-text top terms per destination host ----
+    def anchor_terms(spark, sf_dir):
+        from ocr_devnagari_spark.functions.links import anchor_term_stats
+        d = _t(spark, sf_dir, "documents")
+        pages = d.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+            .alias("url"),
+            _anchor_html().alias("html"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit(".net")).alias("host"))
+        return anchor_term_stats(pages, k=2)
+    q["anchor_terms"] = anchor_terms
+
     return q
 
 
@@ -1543,8 +1672,132 @@ def _a2_cost_sql() -> str:
             f"(SELECT doc_id, {t2} AS t2 FROM documents))")
 
 
+def _rep_sql() -> str:
+    """Gopher A1.1 repetition oracle — word n-grams via the same
+    array-domain construction as functions/repetition.py (list
+    comprehension + slicing instead of Spark transform + slice)."""
+    ctes = ["base AS (SELECT doc_id, length(text) AS total, "
+            "string_split(text, ' ') AS ws FROM documents)"]
+    for n in (2, 3, 5):
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, total, gram, count(*) AS cnt FROM ("
+            f"SELECT doc_id, total, unnest([array_to_string(ws[i:i+{n - 1}],"
+            f" ' ') for i in generate_series(1, greatest(len(ws)-{n - 1},"
+            f" 0))]) AS gram FROM base) GROUP BY doc_id, total, gram)")
+        if n == 5:
+            ctes.append(
+                f"s{n} AS (SELECT doc_id, round(least(1.0, coalesce("
+                "sum(CASE WHEN cnt >= 2 THEN (cnt-1)*length(gram) END), 0)"
+                f" * 1.0 / any_value(total)), 6) AS dup{n}_frac "
+                f"FROM c{n} GROUP BY doc_id)")
+        else:
+            ctes.append(
+                f"s{n} AS (SELECT doc_id, round(least(1.0, "
+                "max(cnt*length(gram)) * 1.0 / any_value(total)), 6) "
+                f"AS top{n}_frac FROM c{n} GROUP BY doc_id)")
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT d.doc_id, s2.top2_frac, s3.top3_frac, s5.dup5_frac, "
+        "(coalesce(s2.top2_frac, 0) <= 0.20 AND "
+        "coalesce(s3.top3_frac, 0) <= 0.18 AND "
+        "coalesce(s5.dup5_frac, 0) <= 0.15) AS rep_pass "
+        "FROM documents d LEFT JOIN s2 USING (doc_id) "
+        "LEFT JOIN s3 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
+
+
+def _para_rows_sql() -> str:
+    """(doc_id, pos, para) over the _PARA_TEXT_SQL corpus — parallel
+    list-subscript unnest (this DuckDB lacks WITH ORDINALITY)."""
+    return ("SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM ("
+            "SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i "
+            "FROM (SELECT doc_id, string_split(" + _PARA_TEXT_SQL +
+            ", chr(10)) AS ps FROM documents))")
+
+
+def _para_rebuild_sql(marked: str) -> str:
+    """Reassemble (doc_id, text, n_paras, n_removed) from a CTE named
+    ``marked`` with columns (doc_id, pos, para, keep)."""
+    return ("SELECT doc_id, coalesce(string_agg(CASE WHEN keep THEN para "
+            "END, chr(10) ORDER BY pos), '') AS text, "
+            "count(*) AS n_paras, "
+            "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) "
+            f"AS n_removed FROM {marked} GROUP BY doc_id")
+
+
+def _para_dedup_sql() -> str:
+    return ("WITH p AS (" + _para_rows_sql() + "), "
+            "hot AS (SELECT para FROM p GROUP BY para "
+            "HAVING count(DISTINCT doc_id) > 1), "
+            "marked AS (SELECT p.doc_id, p.pos, p.para, "
+            "h.para IS NULL AS keep FROM p LEFT JOIN hot h USING (para)) "
+            + _para_rebuild_sql("marked"))
+
+
+def _para_dedup_first_sql() -> str:
+    return ("WITH p AS (" + _para_rows_sql() + "), "
+            "marked AS (SELECT doc_id, pos, para, "
+            "row_number() OVER (PARTITION BY para "
+            "ORDER BY doc_id, pos) = 1 AS keep FROM p) "
+            + _para_rebuild_sql("marked"))
+
+
+def _decontaminate_sql(n: int = 8) -> str:
+    grams = (f"unnest([array_to_string(ws[i:i+{n - 1}], ' ') for i in "
+             f"generate_series(1, greatest(len(ws)-{n - 1}, 0))])")
+    return (
+        "WITH evg AS (SELECT DISTINCT gram FROM ("
+        f"SELECT {grams} AS gram FROM (SELECT string_split(text, ' ') "
+        "AS ws FROM documents WHERE doc_id % 101 = 0))), "
+        "dg AS (SELECT DISTINCT doc_id, gram FROM ("
+        f"SELECT doc_id, {grams} AS gram FROM (SELECT doc_id, "
+        "string_split(text, ' ') AS ws FROM documents "
+        "WHERE doc_id % 101 <> 0))), "
+        "h AS (SELECT doc_id, count(*) AS hits FROM dg "
+        "JOIN evg USING (gram) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, "
+        "coalesce(h.hits, 0) >= 1 AS contaminated "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) d "
+        "LEFT JOIN h USING (doc_id)")
+
+
+def _anchor_terms_sql(k: int = 2) -> str:
+    from ocr_devnagari_spark.functions.links import ANCHOR_RE
+    pat = _sq(ANCHOR_RE)
+    return (
+        "WITH pages AS (SELECT doc_id, " + _ANCHOR_HTML_SQL + " AS html, "
+        "'src' || CAST(doc_id % 4 AS VARCHAR) || '.net' AS src_host "
+        "FROM documents), "
+        "a AS (SELECT src_host, "
+        f"unnest(regexp_extract_all(html, '{pat}', 1)) AS href, "
+        f"unnest(regexp_extract_all(html, '{pat}', 2)) AS raw FROM pages), "
+        "b AS (SELECT src_host, href, trim(regexp_replace(regexp_replace("
+        "raw, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor FROM a), "
+        "c AS (SELECT CASE WHEN href LIKE 'https://%' THEN "
+        "lower(regexp_replace(regexp_extract(href, "
+        "'^https?://([^/?#]*)', 1), ':\\d*$', '')) ELSE src_host END "
+        "AS dst_host, unnest(string_split_regex(lower(anchor), '\\s+')) "
+        "AS term FROM b), "
+        "d AS (SELECT dst_host, term, count(*) AS n FROM c "
+        "WHERE term <> '' GROUP BY dst_host, term) "
+        "SELECT dst_host, term, n FROM (SELECT dst_host, term, n, "
+        "row_number() OVER (PARTITION BY dst_host "
+        "ORDER BY n DESC, term) AS rk FROM d) "
+        f"WHERE rk <= {k}")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
+
+    from ocr_devnagari_spark.functions.pii import (  # noqa: E402
+        email_count_sql as _e_sql,
+        ipv4_count_sql as _i_sql,
+        phone_count_sql as _p_sql,
+        redact_pii_sql as _r_sql,
+    )
+    _pii_email_cnt = _e_sql("t")
+    _pii_ip_cnt = _i_sql("t")
+    _pii_phone_cnt = _p_sql("t")
+    _pii_redact = _r_sql("t")
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -1765,4 +2018,14 @@ def oracle_sql() -> dict[str, str]:
             "AS total_value, row_number() OVER (PARTITION BY event_type "
             "ORDER BY round(sum(value), 4) DESC, user_id ASC) AS rn "
             "FROM events GROUP BY event_type, user_id) WHERE rn = 1"),
+        "repetition_gate": _rep_sql(),
+        "pii_scrub": (
+            f"SELECT doc_id, {_pii_email_cnt} AS n_email, "
+            f"{_pii_ip_cnt} AS n_ip, {_pii_phone_cnt} AS n_phone, "
+            f"{_pii_redact} AS redacted "
+            f"FROM (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)"),
+        "para_dedup": _para_dedup_sql(),
+        "para_dedup_first": _para_dedup_first_sql(),
+        "decontaminate": _decontaminate_sql(8),
+        "anchor_terms": _anchor_terms_sql(2),
     }

@@ -61,6 +61,62 @@ def link_rows(df: DataFrame, url_col: str = "url",
                      .alias("href"))
 
 
+ANCHOR_RE = r"(?is)<a\s[^>]*href\s*=\s*[\"']([^\"'<>\s]+)[\"'][^>]*>(.*?)</a>"
+
+
+def anchor_rows(df: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """(url, href, anchor) — one row per anchor tag, with its visible
+    text (inner tags stripped, whitespace collapsed/trimmed).
+
+    Both capture groups come from the SAME regex matches, so the two
+    ``regexp_extract_all`` arrays are index-aligned by construction and
+    ``arrays_zip`` pairs them correctly.  Anchors whose href does not
+    survive :data:`HREF_RE`'s quoting rules yield no row here either —
+    one source of truth for "is a link".
+    """
+    html = F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2).alias("raw"))
+    return (df.select(F.col(url_col).alias("url"),
+                      F.explode(pairs).alias("a"))
+            .select("url", F.col("a.href").alias("href"),
+                    F.trim(F.regexp_replace(
+                        F.regexp_replace(F.col("a.raw"), r"<[^>]*>", " "),
+                        r"\s+", " ")).alias("anchor")))
+
+
+def anchor_term_stats(df: DataFrame, k: int = 3, url_col: str = "url",
+                      html_col: str = "html",
+                      src_host_col: str = "host") -> DataFrame:
+    """Top-``k`` anchor terms per DESTINATION host — the classic
+    link-text relevance signal (anchor text describes the *target*,
+    not the source; public IR recipe, e.g. Craswell et al. 2001).
+
+    Returns ``(dst_host, term, n)`` with ties broken by term order.
+    One explode → one (host, term) groupBy → per-host top-k window over
+    the aggregated (small) count table.
+    """
+    from pyspark.sql import Window
+    anchors = anchor_rows(df, url_col=url_col, html_col=html_col)
+    src = df.select(F.col(url_col).alias("url"),
+                    F.col(src_host_col).alias("src_host"))
+    terms = (anchors.join(src, "url")
+             .select(_href_host(F.col("href"), F.col("src_host"))
+                     .alias("dst_host"),
+                     F.explode(F.split(F.lower("anchor"), r"\s+"))
+                     .alias("term"))
+             .filter(F.col("term") != ""))
+    counts = (terms.groupBy("dst_host", "term")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("dst_host").orderBy(F.col("n").desc(),
+                                               F.col("term"))
+    return (counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("dst_host", "term", "n"))
+
+
 def _href_host(href: Column, src_host: Column) -> Column:
     """Destination host: absolute links carry their own (lowercased)
     authority, protocol-relative ``//host/…`` likewise, anything else

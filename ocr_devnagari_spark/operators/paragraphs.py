@@ -1,0 +1,154 @@
+"""Paragraph-level corpus operators — cross-document segment dedup and
+eval-set decontamination.
+
+Two public-recipe pipeline stages the document-level dedup family
+(operators/dedup.py) cannot express:
+
+- **Paragraph dedup** (CCNet, Wenzek et al. 2020; also C4's "three-
+  sentence" rule): split every document into paragraphs, count each
+  paragraph's occurrences ACROSS the corpus, drop the boilerplate
+  (navigation, footers, cookie banners repeat on every page of a site)
+  and reassemble the remaining text in order.
+- **Decontamination** (GPT-3 appendix C / Dolma): flag training
+  documents that share any word n-gram with a benchmark/eval set so
+  they can be excluded before training.
+
+Scale shape: both are explode → hash-keyed aggregation → join-back.
+Paragraph counting shuffles on the paragraph hash (boilerplate creates
+hot HASH KEYS but each group reduces to a single count via map-side
+partial aggregation — no collected arrays, unlike LSH buckets, so a
+paragraph repeated 10M times costs one long per partial).  Reassembly
+groups by doc id (bounded by document size).  Decontamination joins
+corpus grams against the eval gram set — the eval side is small by
+definition and is broadcast when it fits (counted gate, the
+plans/pipeline.py discipline).
+
+No counterpart in the reference (an OCR orchestrator); these are
+first-class members of the engine's web-corpus surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.repetition import word_ngrams
+
+PARA_SEP = "\n"
+
+# eval gram sets below this row count are broadcast to the corpus-side
+# join (same order of magnitude as plans/pipeline.py's keeper-map gate)
+BROADCAST_GRAM_LIMIT = 5_000_000
+
+
+def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   sep: str = PARA_SEP) -> DataFrame:
+    """(id, pos, para) — one row per paragraph, 0-based position.
+
+    Paragraphs are the raw ``split(text, sep)`` segments — NOT trimmed,
+    empties kept — so reassembly with the same separator is lossless
+    and the boilerplate match is exact-byte (the CCNet choice is a
+    hash of the *raw* paragraph too).
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = PARA_SEP,
+                    max_docs: int = 1, keep: str = "all",
+                    ) -> DataFrame:
+    """Remove corpus-wide duplicate paragraphs and reassemble documents.
+
+    ``keep`` selects the public recipe:
+
+    - ``'all'`` (boilerplate removal): drop EVERY occurrence of a
+      paragraph that appears in more than ``max_docs`` distinct
+      documents.  A paragraph repeated within one document survives.
+    - ``'first'`` (CCNet global dedup): keep only the globally first
+      occurrence of each paragraph, ordered by ``(id, pos)``;
+      ``max_docs`` is ignored.
+
+    Returns ``(id_col, text_col, n_paras, n_removed)`` for EVERY input
+    document (a document whose paragraphs are all dropped comes back
+    with ``text = ''``).  Deterministic: both modes are pure functions
+    of the corpus, mirrored 1:1 by the DuckDB oracle.
+    """
+    if keep not in ("all", "first"):
+        raise ValueError("keep must be 'all' or 'first'")
+    paras = paragraph_rows(df, id_col, text_col, sep)
+    if keep == "first":
+        from pyspark.sql import Window
+        w = Window.partitionBy("para").orderBy(F.col(id_col), F.col("pos"))
+        marked = paras.withColumn(
+            "_keep", F.row_number().over(w) == 1)
+    else:
+        per_para = (paras
+                    .groupBy("para")
+                    .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+                    .filter(F.col("_df") > max_docs)
+                    .select("para"))
+        # left-anti marks are a join; an explicit left join keeps the
+        # kept/removed accounting in one pass
+        marked = (paras.join(per_para.withColumn("_hot", F.lit(True)),
+                             on="para", how="left")
+                  .withColumn("_keep", F.col("_hot").isNull())
+                  .drop("_hot"))
+    rebuilt = (marked
+               .groupBy(id_col)
+               .agg(
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.when(F.col("_keep"),
+                                      F.struct(F.col("pos"),
+                                               F.col("para"))))),
+                           lambda s: s["para"]),
+                       sep).alias(text_col),
+                   F.count(F.lit(1)).alias("n_paras"),
+                   F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                   .cast("long").alias("n_removed")))
+    return rebuilt
+
+
+def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_text_col: str = "text",
+                        min_hits: int = 1,
+                        broadcast_eval: bool | None = None) -> DataFrame:
+    """Flag training documents sharing word ``n``-grams with an eval set.
+
+    Returns ``(id_col, hits, contaminated)`` for every row of ``docs``
+    — ``hits`` = number of DISTINCT eval n-grams the document contains,
+    ``contaminated`` = ``hits >= min_hits``.
+
+    ``broadcast_eval=None`` counts the distinct eval gram set and
+    broadcasts it when it is under ``BROADCAST_GRAM_LIMIT`` rows (the
+    counted-threshold gate used by the exact-dedup keeper map);
+    True/False forces the choice without the counting job.
+    """
+    eval_grams = (eval_df
+                  .select(F.explode(
+                      word_ngrams(F.col(eval_text_col), n)).alias("gram"))
+                  .distinct())
+    if broadcast_eval is None:
+        broadcast_eval = eval_grams.count() <= BROADCAST_GRAM_LIMIT
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    doc_grams = (docs
+                 .select(F.col(id_col),
+                         F.explode(word_ngrams(F.col(text_col), n))
+                         .alias("gram"))
+                 .distinct())
+    hit_counts = (doc_grams
+                  .join(eval_grams, on="gram", how="inner")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("hits")))
+    spine = docs.select(id_col)
+    return (spine.join(hit_counts, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                    .alias("hits"),
+                    (F.coalesce(F.col("hits"), F.lit(0)) >= min_hits)
+                    .alias("contaminated")))

@@ -1,0 +1,252 @@
+"""Repetition signals, PII scrub, paragraph dedup, decontamination,
+anchor text — brute-force Python oracles and fixed expectations (never
+the mirrored formula, per the review-regression discipline)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.functions import pii
+from ocr_devnagari_spark.functions.links import anchor_rows, anchor_term_stats
+from ocr_devnagari_spark.functions.repetition import (
+    gopher_repetition_pass,
+    ngram_stats,
+    word_ngrams,
+)
+from ocr_devnagari_spark.operators.paragraphs import (
+    ngram_contamination,
+    paragraph_dedup,
+)
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+def _py_ngram_stats(text: str, n: int):
+    words = text.split(" ")
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return None
+    c = Counter(grams)
+    total = len(text)
+    top_mass, top_gram = max(
+        ((cnt * len(g), g) for g, cnt in c.items()))
+    dup = sum((cnt - 1) * len(g) for g, cnt in c.items() if cnt >= 2)
+    r = lambda x: round(min(1.0, x / total), 6)  # noqa: E731
+    return top_gram, r(top_mass), r(dup)
+
+
+TEXTS = [
+    "a b a b a b c",
+    "x y z w v u t s",
+    "q q q q q",
+    "one two three four five one two three four five six",
+    "hi",
+    "spam spam spam spam spam spam spam spam spam spam",
+]
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_ngram_stats_matches_bruteforce(spark, n):
+    df = spark.createDataFrame(list(enumerate(TEXTS)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_stats(df, n).collect()}
+    for i, t in enumerate(TEXTS):
+        exp = _py_ngram_stats(t, n)
+        if exp is None:
+            assert i not in got  # too short: no row, NULL after join
+        else:
+            g = got[i]
+            assert (g["top_gram"], g["top_frac"], g["dup_frac"]) == \
+                pytest.approx(exp)
+
+
+def test_ngram_stats_fixed_values(spark):
+    # 'a b a b a b c' (13 chars): 'a b'×3 (mass 9), 'b a'×2, 'b c'×1
+    df = spark.createDataFrame([(0, TEXTS[0])], "doc_id long, text string")
+    row = ngram_stats(df, 2).collect()[0]
+    assert row["top_gram"] == "a b"
+    assert row["top_frac"] == pytest.approx(9 / 13, abs=1e-6)
+    assert row["dup_frac"] == pytest.approx(9 / 13, abs=1e-6)
+
+
+def test_top_gram_tiebreak_is_lexicographic_max(spark):
+    # every 2-gram occurs once and has equal length → tie on mass
+    df = spark.createDataFrame([(0, "aa bb cc dd")],
+                               "doc_id long, text string")
+    assert ngram_stats(df, 2).collect()[0]["top_gram"] == "cc dd"
+
+
+def test_word_ngrams_shorter_than_n(spark):
+    df = spark.createDataFrame([(0, "only two")], "doc_id long, text string")
+    out = df.select(word_ngrams(F.col("text"), 5).alias("g")).collect()
+    assert out[0]["g"] == []
+
+
+def test_gopher_repetition_pass_flags_spam(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["rep_pass"]
+           for r in gopher_repetition_pass(df).collect()}
+    assert got[5] is False          # pure repetition
+    assert got[4] is True           # too short to repeat → NULLs → pass
+    assert got[3] is False          # dup5 = planted repeated 5-gram
+
+
+def test_repetition_stays_jvm(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = ngram_stats(df, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_pii_fixed_expectations(spark):
+    rows = [
+        (0, "mail a.b-c@ex.co or x@y.io", 2, 0, 0,
+         "mail [EMAIL] or [EMAIL]"),
+        (1, "ip 192.168.0.1 end", 0, 1, 0, "ip [IP] end"),
+        (2, "call 555-123-4567 now", 0, 0, 1, "call [PHONE] now"),
+        (3, "intl +91 981-234-5678", 0, 0, 1, "intl [PHONE]"),
+        (4, "clean text only", 0, 0, 0, "clean text only"),
+        # dotted quad must NOT also count as a phone
+        (5, "10.1.2.3", 0, 1, 0, "[IP]"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, *_ in rows],
+                               "id long, text string")
+    got = {r["id"]: r for r in df.select(
+        "id",
+        pii.email_count(F.col("text")).alias("e"),
+        pii.ipv4_count(F.col("text")).alias("i"),
+        pii.phone_count(F.col("text")).alias("p"),
+        pii.redact_pii(F.col("text")).alias("r")).collect()}
+    for i, _, e, ip, p, red in rows:
+        assert (got[i]["e"], got[i]["i"], got[i]["p"]) == (e, ip, p), i
+        assert got[i]["r"] == red, i
+
+
+def test_pii_count_equals_token_count(spark):
+    """pii_count must equal the number of placeholder tokens emitted."""
+    texts = ["a@b.io then 10.0.0.1 then 555-123-4567 and c@d.org",
+             "+12 345-6789 overlap 1.2.3.4", "none"]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    out = df.select(
+        pii.pii_count(F.col("t")).alias("n"),
+        (F.regexp_count(pii.redact_pii(F.col("t")),
+                        F.lit(r"\[(EMAIL|IP|PHONE)\]"))).alias("tok"))
+    for r in out.collect():
+        assert r["n"] == r["tok"]
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup
+# ---------------------------------------------------------------------------
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_boilerplate_mode(spark):
+    nl = "\n"
+    df = _pdf(spark, [
+        (0, nl.join(["body zero", "FOOTER", "ad block"])),
+        (1, nl.join(["body one", "FOOTER", "ad block"])),
+        (2, nl.join(["body two", "body two", "FOOTER"])),
+    ])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, max_docs=1).collect()}
+    assert got[0]["text"] == "body zero"
+    assert got[0]["n_paras"] == 3 and got[0]["n_removed"] == 2
+    # within-doc repeat is NOT boilerplate (1 distinct doc)
+    assert got[2]["text"] == "body two\nbody two"
+    assert got[2]["n_removed"] == 1
+
+
+def test_paragraph_dedup_first_mode_and_empty_doc(spark):
+    nl = "\n"
+    df = _pdf(spark, [
+        (0, nl.join(["shared", "only zero"])),
+        (1, "shared"),                       # fully deduped away
+        (2, nl.join(["shared", "shared"])),
+    ])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, keep="first").collect()}
+    assert got[0]["text"] == "shared\nonly zero"
+    assert got[1]["text"] == "" and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "" and got[2]["n_removed"] == 2
+    # every input doc comes back
+    assert set(got) == {0, 1, 2}
+
+
+def test_paragraph_dedup_rejects_bad_mode(spark):
+    df = _pdf(spark, [(0, "x")])
+    with pytest.raises(ValueError):
+        paragraph_dedup(df, keep="last")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_ngram_contamination_bruteforce(spark):
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(40)]
+    evals = [(0, docs[5][1]), (1, docs[11][1][:60])]
+    ddf = _pdf(spark, docs)
+    edf = spark.createDataFrame(evals, "id long, text string")
+    for bc in (True, False):
+        got = {r["doc_id"]: (r["hits"], r["contaminated"])
+               for r in ngram_contamination(
+                   ddf, edf, n=5, broadcast_eval=bc).collect()}
+        egrams = set()
+        for _, t in evals:
+            w = t.split(" ")
+            egrams |= {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+        for i, t in docs:
+            w = t.split(" ")
+            dg = {" ".join(w[i2:i2 + 5]) for i2 in range(len(w) - 4)}
+            hits = len(dg & egrams)
+            assert got[i] == (hits, hits >= 1), i
+    # doc 5 is fully in the eval set
+    assert got[5][1] is True
+
+
+def test_contamination_spine_covers_all_docs(spark):
+    ddf = _pdf(spark, [(0, "a b c"), (1, "totally unrelated words here")])
+    edf = _pdf(spark, [(9, "a b c")])
+    got = {r["doc_id"]: r["hits"] for r in ngram_contamination(
+        ddf, edf, n=3, broadcast_eval=True).collect()}
+    assert got == {0: 1, 1: 0}
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+def test_anchor_rows_strips_and_aligns(spark):
+    html = ('<p><a href="https://X.com/a">One <i>two</i>\n three</a>'
+            '<a href=\'/rel\'>four</a><a name="no-href">five</a></p>')
+    df = spark.createDataFrame([("u", html, "src.net")],
+                               "url string, html string, host string")
+    got = anchor_rows(df).collect()
+    assert [(r["href"], r["anchor"]) for r in got] == [
+        ("https://X.com/a", "One two three"), ("/rel", "four")]
+
+
+def test_anchor_term_stats_topk_and_host_resolution(spark):
+    html = ('<a href="https://t.org/1">alpha beta</a>'
+            '<a href="https://t.org/2">alpha gamma</a>'
+            '<a href="/x">delta</a>')
+    df = spark.createDataFrame([("u", html, "src.net")],
+                               "url string, html string, host string")
+    got = [(r["dst_host"], r["term"], r["n"])
+           for r in anchor_term_stats(df, k=1)
+           .orderBy("dst_host").collect()]
+    assert got == [("src.net", "delta", 1), ("t.org", "alpha", 2)]
