@@ -310,6 +310,23 @@ _ANCHOR_HTML_SQL = (
     "'\">home page</a></html>'")
 
 
+def _unnorm_text() -> F.Column:
+    """Deterministic denormalized-unicode spikes: decomposed accents
+    (e+U+0301, n+U+0303), a C0 control char, and tab/space runs."""
+    return (F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit(" café   piña")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.col("text"), F.lit("bell\t\tend ")))
+            .otherwise(F.col("text")))
+
+
+_UNNORM_TEXT_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769) || "
+    "'   pin' || chr(771) || 'a' "
+    "WHEN doc_id % 3 = 1 THEN text || chr(7) || 'bell' || chr(9) || "
+    "chr(9) || 'end ' ELSE text END")
+
+
 _MESSY_URL_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.Example.COM:80/a/' || "
     "CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag' "
@@ -1141,6 +1158,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return anchor_term_stats(pages, k=2)
     q["anchor_terms"] = anchor_terms
 
+    # ---- deterministic train/val/test split (host-keyed, leakage-safe)
+    def split_counts(spark, sf_dir):
+        from ocr_devnagari_spark.functions.splits import split_assign
+        d = _t(spark, sf_dir, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        return (d.select(split_assign(host).alias("split"), host.alias("h"))
+                .groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.count_distinct("h").alias("n_hosts")))
+    q["split_counts"] = split_counts
+
+    # ---- deterministic 10% sample (reproducible subcorpus) ----
+    def det_sample(spark, sf_dir):
+        from ocr_devnagari_spark.functions.splits import sample_predicate
+        d = _t(spark, sf_dir, "documents")
+        return (d.filter(sample_predicate(F.col("doc_id"), 0.1))
+                .select("doc_id", "lang"))
+    q["det_sample"] = det_sample
+
+    # ---- unicode normalization (Arrow NFC + Catalyst cleanup) ----
+    def normalize_docs(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.functions.normalize import normalize_text
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id", normalize_text(_unnorm_text())
+                        .alias("norm"))
+    q["normalize_docs"] = normalize_docs
+
     return q
 
 
@@ -1798,6 +1843,15 @@ def oracle_sql() -> dict[str, str]:
     _pii_ip_cnt = _i_sql("t")
     _pii_phone_cnt = _p_sql("t")
     _pii_redact = _r_sql("t")
+
+    from ocr_devnagari_spark.functions.normalize import normalize_text_sql
+    from ocr_devnagari_spark.functions.splits import (
+        sample_predicate_sql,
+        split_assign_sql,
+    )
+    _split_sql = split_assign_sql("h")
+    _sample_sql = sample_predicate_sql("doc_id", 0.1)
+    _norm_sql = normalize_text_sql("t")
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2028,4 +2082,14 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup_first": _para_dedup_first_sql(),
         "decontaminate": _decontaminate_sql(8),
         "anchor_terms": _anchor_terms_sql(2),
+        "split_counts": (
+            f"SELECT {_split_sql} AS split, count(*) AS n_docs, "
+            "count(DISTINCT h) AS n_hosts FROM (SELECT 'h' || "
+            "CAST(doc_id % 97 AS VARCHAR) AS h FROM documents) "
+            "GROUP BY 1"),
+        "det_sample": (
+            f"SELECT doc_id, lang FROM documents WHERE {_sample_sql}"),
+        "normalize_docs": (
+            f"SELECT doc_id, {_norm_sql} AS norm FROM "
+            f"(SELECT doc_id, {_UNNORM_TEXT_SQL} AS t FROM documents)"),
     }

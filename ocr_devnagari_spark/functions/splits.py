@@ -1,0 +1,95 @@
+"""Deterministic hash splits and sampling — train/val/test assignment
+and reproducible subsampling for corpus building.
+
+Every large-scale training pipeline needs BOTH of these, and both must
+be pure functions of the data (re-running the pipeline on a grown
+corpus must not reshuffle old documents between splits):
+
+- ``hash_bucket(key, n)`` — stable bucket in [0, n) from the md5 of the
+  key.  md5 (not xxhash64) is the documented choice because the DuckDB
+  oracle computes the identical value; the first 8 hex chars give 32
+  uniform bits, far more than any bucket count needs.
+- ``split_assign(key, weights)`` — named split from cumulative weight
+  ranges over a 10_000-bucket wheel.  Key on the *leakage unit* (URL
+  host, not document id) so near-duplicate pages from one site cannot
+  straddle train/test — the standard contamination guard.
+- ``sample_predicate(key, rate)`` — keep ≈``rate`` of rows,
+  deterministically; composable with any filter pushdown since it is
+  a pure Catalyst expression over the key column.
+
+All pure whole-stage-codegen expressions — no shuffle, no RNG state,
+no driver involvement; the same row always lands in the same split on
+any cluster size (the property ``df.sample`` does NOT have across
+re-runs/re-partitionings with different seeds).
+
+No counterpart in the reference (an OCR orchestrator); part of the
+engine's web-corpus surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHEEL = 10_000  # split wheel resolution: 0.01% granularity
+
+
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Stable bucket in ``[0, n_buckets)`` — ``int(md5(key)[:8], 16) %
+    n_buckets``.  NULL keys hash as the empty string (documented: they
+    all land together rather than dropping out)."""
+    h = F.conv(F.substring(F.md5(F.coalesce(key.cast("string"),
+                                            F.lit(""))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def hash_bucket_sql(key: str, n_buckets: int) -> str:
+    return (f"(('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), '')),"
+            f" 1, 8))::UBIGINT % {n_buckets})")
+
+
+def split_assign(key: Column, weights: dict[str, float] | None = None,
+                 ) -> Column:
+    """Named split from cumulative ``weights`` (default 98/1/1
+    train/val/test).  Weights must sum to 1 within wheel resolution;
+    assignment order is the dict order (part of the spec — iterate a
+    plain dict, insertion-ordered)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1.0 / WHEEL:
+        raise ValueError("split weights must sum to 1")
+    b = hash_bucket(key, WHEEL)
+    expr = None
+    hi = 0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += int(round(weights[name] * WHEEL))
+        cond = b < hi
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_assign_sql(key: str, weights: dict[str, float] | None = None,
+                     ) -> str:
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = hash_bucket_sql(key, WHEEL)
+    names = list(weights)
+    parts, hi = [], 0
+    for name in names[:-1]:
+        hi += int(round(weights[name] * WHEEL))
+        parts.append(f"WHEN {b} < {hi} THEN '{name}'")
+    if not parts:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def sample_predicate(key: Column, rate: float) -> Column:
+    """True for ≈``rate`` of rows, deterministically in the key."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return hash_bucket(key, WHEEL) < int(round(rate * WHEEL))
+
+
+def sample_predicate_sql(key: str, rate: float) -> str:
+    return f"({hash_bucket_sql(key, WHEEL)} < {int(round(rate * WHEEL))})"

@@ -1,0 +1,148 @@
+"""Deterministic splits/sampling and unicode normalization."""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.functions.normalize import (
+    normalize_text,
+    normalize_text_sql,
+)
+from ocr_devnagari_spark.functions.splits import (
+    WHEEL,
+    hash_bucket,
+    hash_bucket_sql,
+    sample_predicate,
+    split_assign,
+    split_assign_sql,
+)
+
+
+def _py_bucket(key: str, n: int) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+
+def test_hash_bucket_matches_python_and_duckdb(spark):
+    keys = [str(i) for i in range(50)] + ["", "host.example.com"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", hash_bucket(F.col("k"), 1000).alias("b")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        exp = _py_bucket(k, 1000)
+        assert got[k] == exp, k
+        d = con.execute("SELECT " + hash_bucket_sql(f"'{k}'", 1000)
+                        ).fetchone()[0]
+        assert d == exp, k
+
+
+def test_hash_bucket_null_key_is_empty_string(spark):
+    df = spark.createDataFrame([(None,)], "k string")
+    got = df.select(hash_bucket(F.col("k"), 1000).alias("b")).collect()
+    assert got[0]["b"] == _py_bucket("", 1000)
+
+
+def test_split_assign_deterministic_and_weighted(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = {r["s"]: r["c"] for r in
+              df.select(split_assign(F.col("k"), w).alias("s"))
+              .groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.02)
+    assert counts["val"] / n == pytest.approx(0.1, abs=0.01)
+    # same key → same split on recompute (pure function, no RNG)
+    again = {r["s"]: r["c"] for r in
+             df.select(split_assign(F.col("k"), w).alias("s"))
+             .groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == again
+
+
+def test_split_assign_matches_sql_mirror(spark):
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    got = {r["k"]: r["s"] for r in
+           df.select("k", split_assign(F.col("k"), w).alias("s")).collect()}
+    con = duckdb.connect()
+    sql = split_assign_sql("k", w)
+    for k in list(got)[:100]:
+        assert con.execute(
+            f"SELECT {sql} FROM (SELECT '{k}' AS k)").fetchone()[0] == got[k]
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        split_assign(F.lit("x"), {"a": 0.5, "b": 0.2})
+
+
+def test_sample_predicate_rate_and_subset_property(spark):
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    n10 = df.filter(sample_predicate(F.col("k"), 0.10)).count()
+    n20 = df.filter(sample_predicate(F.col("k"), 0.20)).count()
+    assert n10 / 20_000 == pytest.approx(0.10, abs=0.01)
+    # nested property: the 10% sample is a subset of the 20% sample
+    only10 = df.filter(sample_predicate(F.col("k"), 0.10)
+                       & ~sample_predicate(F.col("k"), 0.20)).count()
+    assert only10 == 0 and n20 > n10
+    with pytest.raises(ValueError):
+        sample_predicate(F.col("k"), 1.5)
+
+
+def test_split_is_shuffle_free(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    plan = (df.select(split_assign(F.col("k")).alias("s"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+CASES = [
+    ("café niño", "café niño"),        # NFC composition
+    ("a \t b\t\tc", "a b c"),                      # ws collapse
+    ("x\x00y\x07z", "xyz"),                        # control strip
+    ("  already clean  ", "already clean"),        # trim
+    ("keep\nnewline", "keep\nnewline"),            # \n survives
+    (None, None),
+]
+
+
+def test_normalize_text_fixed_cases(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(CASES)], "id long, t string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, (_, exp) in enumerate(CASES):
+        assert got[i] == exp, i
+
+
+def test_normalize_matches_python_unicodedata(spark):
+    texts = ["Ǻngström", "ffi ﬁ", "ẛ̣"]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == unicodedata.normalize("NFC", t).strip(), i
+
+
+def test_normalize_sql_mirror_agrees(spark):
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(CASES) if t is not None],
+        "id long, t string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_text(F.col("t")).alias("n")).collect()}
+    for i, (t, _) in enumerate(CASES):
+        if t is None:
+            continue
+        d = con.execute("SELECT " + normalize_text_sql("?::VARCHAR"),
+                        [t]).fetchone()[0]
+        assert d == got[i], i
