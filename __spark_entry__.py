@@ -310,6 +310,27 @@ _ANCHOR_HTML_SQL = (
     "'\">home page</a></html>'")
 
 
+# robots Sitemap: discovery corpus — global directive semantics (inside
+# a non-* group, duplicated, case-insensitive, trailing comment)
+_SITEMAP_CORPUS = [
+    ("h0", "User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://h0.example.com/sitemap.xml"),
+    ("h1", "sitemap: https://h1.example.com/a.xml\n"
+           "Sitemap: https://h1.example.com/b.xml\n"
+           "Sitemap: https://h1.example.com/a.xml"),
+    ("h2", "User-agent: bing\n"
+           "Sitemap: https://h2.example.com/s.xml # comment"),
+    ("h3", "Disallow: /nope"),
+]
+
+
+def _sitemap_corpus_sql() -> str:
+    rows = ", ".join(
+        "('" + h + "', '" + b.replace("'", "''") + "')"
+        for h, b in _SITEMAP_CORPUS)
+    return f"(VALUES {rows}) AS _s(host, robots_txt)"
+
+
 def _unnorm_text() -> F.Column:
     """Deterministic denormalized-unicode spikes: decomposed accents
     (e+U+0301, n+U+0303), a C0 control char, and tab/space runs."""
@@ -1186,6 +1207,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("norm"))
     q["normalize_docs"] = normalize_docs
 
+    # ---- corpus curation composition: gates → dedup → split → mix ----
+    def curate_report(spark, sf_dir):
+        from ocr_devnagari_spark.plans.curation import curation_report
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text",
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+            .alias("host"))
+        return curation_report(d)
+    q["curate_report"] = curate_report
+
+    # ---- robots Sitemap: discovery (global directive, RFC 9309 §2.3)
+    def robots_sitemaps(spark, sf_dir):
+        from ocr_devnagari_spark.functions.robots import sitemap_urls
+        df = spark.createDataFrame(_SITEMAP_CORPUS,
+                                   "host string, robots_txt string")
+        return sitemap_urls(df)
+    q["robots_sitemaps"] = robots_sitemaps
+
     return q
 
 
@@ -1717,10 +1756,11 @@ def _a2_cost_sql() -> str:
             f"(SELECT doc_id, {t2} AS t2 FROM documents))")
 
 
-def _rep_sql() -> str:
-    """Gopher A1.1 repetition oracle — word n-grams via the same
-    array-domain construction as functions/repetition.py (list
-    comprehension + slicing instead of Spark transform + slice)."""
+def _rep_ctes() -> list:
+    """Shared CTE list for the Gopher A1.1 repetition signals — word
+    n-grams via the same array-domain construction as
+    functions/repetition.py (list comprehension + slicing instead of
+    Spark transform + slice)."""
     ctes = ["base AS (SELECT doc_id, length(text) AS total, "
             "string_split(text, ' ') AS ws FROM documents)"]
     for n in (2, 3, 5):
@@ -1740,14 +1780,52 @@ def _rep_sql() -> str:
                 f"s{n} AS (SELECT doc_id, round(least(1.0, "
                 "max(cnt*length(gram)) * 1.0 / any_value(total)), 6) "
                 f"AS top{n}_frac FROM c{n} GROUP BY doc_id)")
+    return ctes
+
+
+_REP_PASS_EXPR = ("(coalesce(s2.top2_frac, 0) <= 0.20 AND "
+                  "coalesce(s3.top3_frac, 0) <= 0.18 AND "
+                  "coalesce(s5.dup5_frac, 0) <= 0.15)")
+
+_REP_JOINS = ("FROM documents d LEFT JOIN s2 USING (doc_id) "
+              "LEFT JOIN s3 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
+
+
+def _rep_sql() -> str:
     return (
-        "WITH " + ", ".join(ctes) +
+        "WITH " + ", ".join(_rep_ctes()) +
         " SELECT d.doc_id, s2.top2_frac, s3.top3_frac, s5.dup5_frac, "
-        "(coalesce(s2.top2_frac, 0) <= 0.20 AND "
-        "coalesce(s3.top3_frac, 0) <= 0.18 AND "
-        "coalesce(s5.dup5_frac, 0) <= 0.15) AS rep_pass "
-        "FROM documents d LEFT JOIN s2 USING (doc_id) "
-        "LEFT JOIN s3 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
+        + _REP_PASS_EXPR + " AS rep_pass " + _REP_JOINS)
+
+
+def _curate_sql() -> str:
+    """Curation composition oracle: repetition + Gopher gates → exact
+    dedup (min doc_id keeper) → host split → per-split totals.  Gate
+    order mirrors plans/curation.py (gates BEFORE dedup)."""
+    from ocr_devnagari_spark.functions.splits import split_assign_sql
+    toks = "len(regexp_extract_all(text, '\\S+'))"
+    return (
+        "WITH " + ", ".join(_rep_ctes()) + ", "
+        "sigj AS (SELECT d.doc_id, d.text, " + _REP_PASS_EXPR
+        + " AS rep_pass " + _REP_JOINS + "), "
+        f"gstat AS (SELECT doc_id, text, rep_pass, {toks} AS toks, "
+        "length(regexp_replace(text, '\\s+', '', 'g')) AS chars, "
+        "len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS syms "
+        "FROM sigj), "
+        "kept AS (SELECT doc_id, text FROM gstat WHERE rep_pass "
+        "AND toks BETWEEN 40 AND 100000 "
+        "AND (CASE WHEN toks > 0 THEN chars * 1.0 / toks ELSE 0.0 END) "
+        "BETWEEN 3.0 AND 10.0 "
+        "AND (CASE WHEN toks > 0 THEN syms * 1.0 / toks ELSE 1.0 END) "
+        "< 0.1), "
+        "ded AS (SELECT doc_id, text FROM (SELECT doc_id, text, "
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) "
+        "AS rn FROM kept) WHERE rn = 1) "
+        f"SELECT {split_assign_sql('h')} AS split, "
+        "count(*) AS n_docs, "
+        f"CAST(sum({toks}) AS BIGINT) AS total_tokens FROM ("
+        "SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS h, text "
+        "FROM ded) GROUP BY 1")
 
 
 def _para_rows_sql() -> str:
@@ -2092,4 +2170,12 @@ def oracle_sql() -> dict[str, str]:
         "normalize_docs": (
             f"SELECT doc_id, {_norm_sql} AS norm FROM "
             f"(SELECT doc_id, {_UNNORM_TEXT_SQL} AS t FROM documents)"),
+        "curate_report": _curate_sql(),
+        "robots_sitemaps": (
+            "SELECT DISTINCT host, regexp_extract(line, "
+            "'(?i)^sitemap\\s*:\\s*(\\S+)', 1) AS sitemap_url FROM ("
+            "SELECT host, trim(regexp_replace(unnest(string_split_regex("
+            "robots_txt, '\\r?\\n')), '#.*$', '')) AS line FROM "
+            + _sitemap_corpus_sql() + ") "
+            "WHERE regexp_matches(line, '(?i)^sitemap\\s*:\\s*\\S+')"),
     }

@@ -64,6 +64,7 @@ UA_LINE_RE = r"(?i)^user-agent\s*:\s*(.*)$"
 DISALLOW_LINE_RE = r"(?i)^disallow\s*:\s*(\S*)"
 ALLOW_LINE_RE = r"(?i)^allow\s*:\s*(\S*)"
 CRAWL_DELAY_LINE_RE = r"(?i)^crawl-delay\s*:\s*([0-9.]+)"
+SITEMAP_LINE_RE = r"(?i)^sitemap\s*:\s*(\S+)"
 
 
 def meta_robots_noindex(html: Column) -> Column:
@@ -219,6 +220,20 @@ def crawl_delays(df: DataFrame, host_col: str = "host",
             .select("host", delay.cast("double").alias("crawl_delay"))
             .groupBy("host")
             .agg(F.max("crawl_delay").alias("crawl_delay")))
+
+
+def sitemap_urls(df: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url): ``Sitemap:`` lines.  Per RFC 9309 §2.3 /
+    sitemaps.org, the directive is GLOBAL — it applies regardless of
+    the user-agent group it appears inside — so this reads every line,
+    not just ``*`` groups.  Distinct per (host, url); composes with
+    ``links.sitemap_locs`` for frontier seeding."""
+    lines = _robots_lines(df, host_col, body_col)
+    url = F.regexp_extract("line", SITEMAP_LINE_RE, 1)
+    return (lines.filter(F.col("line").rlike(SITEMAP_LINE_RE))
+            .select("host", url.alias("sitemap_url"))
+            .distinct())
 
 
 _RID = "__robots_rid"          # reserved internal names — prefixed so a

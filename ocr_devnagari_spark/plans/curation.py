@@ -1,0 +1,76 @@
+"""End-to-end corpus curation — the composition the individual text
+operators exist for.
+
+One declarative plan chaining the public web-corpus recipe:
+
+1. **Quality gate** — Gopher document heuristics
+   (``functions/text.gopher_pass``: word bounds, mean word length,
+   symbol ratio).
+2. **Repetition gate** — Gopher A1.1 n-gram repetition signals
+   (``functions/repetition.gopher_repetition_pass``).
+3. **Exact dedup** — keep the lowest-id document per distinct text
+   (md5 grouping, window rank; the deterministic keeper rule the
+   dedup module uses everywhere).
+4. **Split assignment** — leakage-safe hash split on the host key
+   (``functions/splits.split_assign``).
+
+Everything stays one Catalyst plan: the gates are codegen
+expressions, the repetition signals one explode+agg join, dedup one
+hash-partitioned window, the split a pure projection.  Spark pipelines
+the whole thing — no intermediate materialization, and every shuffle
+is keyed (doc id / text hash), never all-pairs.  At 100 TB the plan is
+scan → narrow gates → one agg → one window shuffle → final agg.
+
+Gate order is part of the spec (gates BEFORE dedup: a boilerplate page
+that fails quality can then never claim keeper-ship over a passing
+duplicate; the DuckDB oracle mirrors the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.repetition import gopher_repetition_pass
+from ..functions.splits import split_assign
+from ..functions.text import gopher_pass, token_count
+
+
+def curate_docs(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", host_col: str = "host",
+                weights: dict[str, float] | None = None,
+                min_words: int = 40) -> DataFrame:
+    """Per-document curation verdicts: gated, deduped, split-assigned.
+
+    Returns ``(id_col, split, n_tokens)`` for the SURVIVING documents
+    only.  ``df`` must carry ``host_col`` (the leakage unit for the
+    split)."""
+    text = F.col(text_col)
+    gated = (df
+             .join(gopher_repetition_pass(df, id_col=id_col,
+                                          text_col=text_col)
+                   .select(id_col, "rep_pass"), on=id_col)
+             .filter(gopher_pass(text, min_words=min_words)
+                     & F.col("rep_pass")))
+    w = Window.partitionBy(F.md5(text)).orderBy(F.col(id_col))
+    deduped = (gated
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1))
+    return deduped.select(
+        F.col(id_col),
+        split_assign(F.col(host_col), weights).alias("split"),
+        token_count(text).cast("long").alias("n_tokens"))
+
+
+def curation_report(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", host_col: str = "host",
+                    weights: dict[str, float] | None = None,
+                    min_words: int = 40) -> DataFrame:
+    """(split, n_docs, total_tokens) over the curated corpus — the
+    training-mix summary a corpus build publishes."""
+    return (curate_docs(df, id_col=id_col, text_col=text_col,
+                        host_col=host_col, weights=weights,
+                        min_words=min_words)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))

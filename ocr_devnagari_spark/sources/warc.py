@@ -38,9 +38,13 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
-def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+def iter_warc_records(stream, with_spans: bool = False) -> Iterator:
     """Yield (warc_headers, payload_bytes) per record from a binary
-    stream. Tolerates both single-gzip-member and plain files (the caller
+    stream — or, with ``with_spans=True``, (headers, payload, offset,
+    length) where ``offset`` is the record's start position and
+    ``length`` the bytes through the end of its payload, both in the
+    UNCOMPRESSED stream (the CDX convention for non-member-gzip files).
+    Tolerates both single-gzip-member and plain files (the caller
     decompresses); skips malformed trailing garbage instead of raising."""
     buf = io.BufferedReader(stream) if not isinstance(
         stream, io.BufferedReader) else stream
@@ -50,6 +54,7 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
             return
         if not line.startswith(b"WARC/"):
             continue                      # inter-record padding
+        start = buf.tell() - len(line)
         header_lines = []
         while True:
             ln = buf.readline()
@@ -66,7 +71,10 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         payload = buf.read(length)
         if len(payload) < length:
             return                        # truncated archive tail
-        yield headers, payload
+        if with_spans:
+            yield headers, payload, start, buf.tell() - start
+        else:
+            yield headers, payload
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -183,6 +191,113 @@ def read_warc_pages(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+CDX_COLUMNS = ["url", "warc_ts", "offset", "length", "digest", "mime",
+               "status", "filename"]
+
+
+def _http_meta(payload: bytes) -> tuple:
+    """(status, mime) from a response record's HTTP envelope; (None,
+    None) when the payload is not an HTTP message."""
+    if payload[:5] != b"HTTP/":
+        return None, None
+    sep = payload.find(b"\r\n\r\n")
+    head = payload[:sep] if sep >= 0 else payload
+    first = head.split(_CRLF, 1)[0].split(b" ")
+    status = None
+    if len(first) >= 2:
+        try:
+            status = int(first[1])
+        except ValueError:
+            status = None
+    mime = _parse_headers(head).get("content-type")
+    if mime:
+        mime = mime.split(";")[0].strip().lower()
+    return status, mime
+
+
+def _cdx_rows(content: bytes, filename: str):
+    import hashlib
+    if content[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(content))
+    else:
+        stream = io.BytesIO(content)
+    for headers, payload, off, length in iter_warc_records(
+            stream, with_spans=True):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.fromisoformat(
+                    raw_ts.replace("Z", "+00:00")).astimezone(
+                        timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                ts = None
+        status, mime = _http_meta(payload)
+        yield {"url": url, "warc_ts": ts, "offset": off,
+               "length": length,
+               "digest": hashlib.sha1(payload).hexdigest(),
+               "mime": mime, "status": status, "filename": filename}
+
+
+def warc_cdx_index(spark: SparkSession, path: str,
+                   rows_per_batch: int = 4096) -> DataFrame:
+    """CDX-style capture index over ``*.warc(.gz)`` files: one row per
+    response record — ``(url, warc_ts, offset, length, digest, mime,
+    status, filename)``.  The crawl-side complement of
+    :func:`read_warc_pages`: dedup by payload digest, random access by
+    (filename, offset, length), and re-crawl diffing all run off this
+    table without touching page bodies again.
+
+    Offsets are positions in the UNCOMPRESSED stream (this source's
+    archives are single-member gzip; Common Crawl's member-per-record
+    layout would make them compressed offsets — documented difference).
+    Same scale shape as ``read_warc_pages``: one task per archive,
+    streamed decompression, bounded output chunks."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("digest", StringType()),
+        StructField("mime", StringType()),
+        StructField("status", IntegerType()),
+        StructField("filename", StringType()),
+    ])
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            for fp, content in zip(pdf["path"], pdf["content"]):
+                name = fp.rsplit("/", 1)[-1]
+                rows = []
+                for row in _cdx_rows(bytes(content), name):
+                    rows.append(row)
+                    if len(rows) >= rows_per_batch:
+                        yield pd.DataFrame(rows, columns=CDX_COLUMNS)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=CDX_COLUMNS)
+
+    return files.mapInPandas(parse, schema)
 
 
 # -- test/demo helper ---------------------------------------------------------

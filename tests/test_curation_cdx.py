@@ -1,0 +1,132 @@
+"""Curation composition plan, WARC CDX index, robots Sitemap lines."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.functions.robots import sitemap_urls
+from ocr_devnagari_spark.plans.curation import curate_docs, curation_report
+from ocr_devnagari_spark.sources.warc import (
+    iter_warc_records,
+    warc_cdx_index,
+    write_warc,
+)
+
+GOOD = ("solid body text with plenty of distinct words " +
+        " ".join(f"tok{i}" for i in range(40)))
+SPAMMY = "buy now " * 60
+SHORT = "too short"
+
+
+def _docs(spark):
+    rows = [
+        (0, GOOD, "a.com"),
+        (1, SPAMMY.strip(), "a.com"),       # fails repetition gate
+        (2, SHORT, "b.com"),                # fails gopher word floor
+        (3, GOOD, "b.com"),                 # exact dup of 0 → dropped
+        (4, GOOD + " trailing difference", "c.com"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "host string")
+
+
+def test_curate_docs_gates_dedups_and_splits(spark):
+    out = {r["doc_id"]: r for r in curate_docs(_docs(spark)).collect()}
+    assert set(out) == {0, 4}          # 1,2 gated; 3 deduped (0 is keeper)
+    assert out[0]["n_tokens"] == len(GOOD.split())
+    for r in out.values():
+        assert r["split"] in ("train", "val", "test")
+
+
+def test_curation_report_totals(spark):
+    rep = curation_report(_docs(spark)).collect()
+    assert sum(r["n_docs"] for r in rep) == 2
+    assert sum(r["total_tokens"] for r in rep) == \
+        len(GOOD.split()) * 2 + 2      # doc4 adds "trailing difference"
+
+
+def test_curation_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(7, GOOD, "x.com"), (3, GOOD, "y.com")],
+        "doc_id long, text string, host string")
+    out = curate_docs(df).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+# ---------------------------------------------------------------------------
+# CDX
+# ---------------------------------------------------------------------------
+
+def test_cdx_index_offsets_point_at_records(spark, tmp_path):
+    body = b"<html><p>" + b"x" * 100 + b"</p></html>"
+    p = str(tmp_path / "c.warc")
+    write_warc(p, [
+        ("http://ex.com/1", "2024-01-01T00:00:00Z", body, "response"),
+        ("http://ex.com/skip", "2024-01-01T00:00:00Z",
+         b"GET / HTTP/1.1\r\n\r\n", "request"),
+        ("http://ex.com/2", "2024-01-01T00:00:01Z", body, "response"),
+    ])
+    rows = sorted(warc_cdx_index(spark, p).collect(),
+                  key=lambda r: r["offset"])
+    assert [r["url"] for r in rows] == ["http://ex.com/1",
+                                       "http://ex.com/2"]
+    raw = open(p, "rb").read()
+    for r in rows:
+        rec = raw[r["offset"]:r["offset"] + r["length"]]
+        assert rec.startswith(b"WARC/1.0")
+        assert rec.endswith(body)          # span covers the payload
+        assert r["status"] == 200
+        assert r["mime"] == "text/html"
+        assert r["filename"] == "c.warc"
+        # digest = sha1 of the full HTTP payload
+        payload = rec[rec.index(b"\r\n\r\n") + 4:]
+        assert r["digest"] == hashlib.sha1(payload).hexdigest()
+
+
+def test_cdx_index_gz_uncompressed_offsets(spark, tmp_path):
+    body = b"<html><p>gz offsets</p></html>"
+    p = str(tmp_path / "d.warc.gz")
+    write_warc(p, [("http://ex.com/z", "2024-01-01T00:00:00Z",
+                    body, "response")])
+    rows = warc_cdx_index(spark, p).collect()
+    assert len(rows) == 1
+    raw = gzip.decompress(open(p, "rb").read())
+    r = rows[0]
+    assert raw[r["offset"]:r["offset"] + r["length"]].startswith(b"WARC/")
+    # dedup-by-digest works across plain and gz copies of the same page
+    assert r["digest"]
+
+
+def test_cdx_spans_match_iterator(spark, tmp_path):
+    p = str(tmp_path / "e.warc")
+    write_warc(p, [("http://ex.com/a", "2024-01-01T00:00:00Z",
+                    b"<html>a</html>", "response"),
+                   ("http://ex.com/b", "2024-01-01T00:00:01Z",
+                    b"<html>bb</html>", "response")])
+    raw = open(p, "rb").read()
+    spans = [(off, ln) for _, _, off, ln in
+             iter_warc_records(io.BytesIO(raw), with_spans=True)]
+    assert len(spans) == 2
+    assert spans[0][0] == 0
+    # records tile the file up to the inter-record separators
+    assert spans[1][0] >= spans[0][0] + spans[0][1]
+
+
+# ---------------------------------------------------------------------------
+# robots Sitemap:
+# ---------------------------------------------------------------------------
+
+def test_sitemap_urls_global_dedup_comment(spark):
+    df = spark.createDataFrame([
+        ("h1", "User-agent: bing\nSitemap: https://h1/s.xml # note"),
+        ("h2", "sitemap: https://h2/a.xml\r\nSitemap: https://h2/a.xml"),
+        ("h3", "Disallow: /x"),
+    ], "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in sitemap_urls(df).collect())
+    assert got == [("h1", "https://h1/s.xml"), ("h2", "https://h2/a.xml")]
