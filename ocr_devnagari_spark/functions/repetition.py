@@ -99,24 +99,58 @@ def ngram_stats(df: DataFrame, n: int, id_col: str = "doc_id",
 def repetition_signals(df: DataFrame, top_ns: tuple = (2, 3),
                        dup_ns: tuple = (5,), id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """Joined per-document signal frame: one ``top{n}_frac`` column per
-    entry of ``top_ns`` and one ``dup{n}_frac`` per ``dup_ns``.
+    """Per-document signal frame: one ``top{n}_frac`` column per entry
+    of ``top_ns`` and one ``dup{n}_frac`` per ``dup_ns``.
 
-    Each n is an independent explode+agg over the same input; the joins
-    are doc-keyed one-row-per-doc frames (tiny next to the corpus).
+    FUSED plan: every requested n contributes (n, gram) structs to ONE
+    array that explodes once, so the corpus is scanned once and the
+    gram traffic shuffles through a single ``groupBy(id, n, gram)`` →
+    ``groupBy(id, n)`` → pivot cascade (vs one full cascade per n).
     Documents shorter than every requested n still appear (left join
     from the id spine) with NULL signals — callers treat NULL as
     "cannot repeat", i.e. pass.
     """
-    out = df.select(id_col)
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        stats = ngram_stats(df, n, id_col=id_col, text_col=text_col)
-        cols = [F.col(id_col)]
+    ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _tag(n):
+        # a ONE-argument lambda is mandatory: F.transform treats a
+        # second parameter as the element-index slot, which would
+        # silently shadow the captured n
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[
+        F.transform(word_ngrams(F.col(text_col), n), _tag(n))
+        for n in ns])
+    base = df.select(F.col(id_col),
+                     F.length(F.col(text_col)).alias("_total"),
+                     F.explode(tagged).alias("t"))
+    counts = (base
+              .groupBy(id_col, "_total", F.col("t.n").alias("n"),
+                       F.col("t.gram").alias("gram"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    frac = lambda c: F.round(  # noqa: E731
+        F.least(F.lit(1.0), c.cast("double") / F.col("_total")), 6)
+    per = (counts
+           .groupBy(id_col, "_total", "n")
+           .agg(F.max((F.col("cnt") * F.length("gram")).cast("long"))
+                .alias("_top"),
+                F.sum(F.when(F.col("cnt") >= 2,
+                             (F.col("cnt") - 1) * F.length("gram"))
+                      .otherwise(F.lit(0))).alias("_dup"))
+           .select(id_col, "n", frac(F.col("_top")).alias("top_frac"),
+                   frac(F.col("_dup")).alias("dup_frac")))
+    pivoted = (per.groupBy(id_col).pivot("n", ns)
+               .agg(F.first("top_frac").alias("top"),
+                    F.first("dup_frac").alias("dup")))
+    cols = [F.col(id_col)]
+    for n in ns:
+        # a two-agg pivot names columns "{value}_{agg alias}"
         if n in top_ns:
-            cols.append(F.col("top_frac").alias(f"top{n}_frac"))
+            cols.append(F.col(f"`{n}_top`").alias(f"top{n}_frac"))
         if n in dup_ns:
-            cols.append(F.col("dup_frac").alias(f"dup{n}_frac"))
-        out = out.join(stats.select(*cols), on=id_col, how="left")
+            cols.append(F.col(f"`{n}_dup`").alias(f"dup{n}_frac"))
+    out = df.select(id_col).join(pivoted.select(*cols), on=id_col,
+                                 how="left")
     return out
 
 
