@@ -331,6 +331,9 @@ def _sitemap_corpus_sql() -> str:
     return f"(VALUES {rows}) AS _s(host, robots_txt)"
 
 
+_MIX_RATES = {"en": 0.5, "hi": 0.2, "zh": 0.05}
+
+
 def _unnorm_text() -> F.Column:
     """Deterministic denormalized-unicode spikes: decomposed accents
     (e+U+0301, n+U+0303), a C0 control char, and tab/space runs."""
@@ -1225,6 +1228,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sitemap_urls(df)
     q["robots_sitemaps"] = robots_sitemaps
 
+    # ---- token-budget shard packing (two-level prefix sum) ----
+    def shard_manifest(spark, sf_dir):
+        from ocr_devnagari_spark.plans.sharding import shard_report
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens"))
+        return shard_report(d, shard_tokens=5000, n_buckets=32)
+    q["shard_manifest"] = shard_manifest
+
+    # ---- stratified corpus mixing (per-language keep rates) ----
+    def stratified_mix(spark, sf_dir):
+        from ocr_devnagari_spark.functions.splits import (
+            stratified_predicate,
+        )
+        d = _t(spark, sf_dir, "documents")
+        keep = stratified_predicate(
+            F.col("doc_id"), F.col("lang"), _MIX_RATES, default_rate=0.1)
+        return (d.filter(keep).groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs")))
+    q["stratified_mix"] = stratified_mix
+
     return q
 
 
@@ -1930,6 +1953,14 @@ def oracle_sql() -> dict[str, str]:
     _split_sql = split_assign_sql("h")
     _sample_sql = sample_predicate_sql("doc_id", 0.1)
     _norm_sql = normalize_text_sql("t")
+
+    from ocr_devnagari_spark.functions.splits import (
+        hash_bucket_sql,
+        stratified_predicate_sql,
+    )
+    _bucket32 = hash_bucket_sql("doc_id", 32)
+    _strat_sql = stratified_predicate_sql("doc_id", "lang", _MIX_RATES,
+                                          default_rate=0.1)
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2178,4 +2209,17 @@ def oracle_sql() -> dict[str, str]:
             "robots_txt, '\\r?\\n')), '#.*$', '')) AS line FROM "
             + _sitemap_corpus_sql() + ") "
             "WHERE regexp_matches(line, '(?i)^sitemap\\s*:\\s*\\S+')"),
+        "shard_manifest": (
+            "WITH t AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS tok, "
+            f"{_bucket32} AS b FROM documents), "
+            "c AS (SELECT doc_id, tok, sum(tok) OVER ("
+            "ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) - tok "
+            "AS start_off FROM t) "
+            "SELECT CAST(floor(start_off / 5000.0) AS BIGINT) AS shard, "
+            "count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens "
+            "FROM c GROUP BY 1"),
+        "stratified_mix": (
+            "SELECT lang, count(*) AS n_docs FROM documents "
+            f"WHERE {_strat_sql} GROUP BY lang"),
     }

@@ -93,3 +93,36 @@ def sample_predicate(key: Column, rate: float) -> Column:
 
 def sample_predicate_sql(key: str, rate: float) -> str:
     return f"({hash_bucket_sql(key, WHEEL)} < {int(round(rate * WHEEL))})"
+
+
+def stratified_predicate(key: Column, strata: Column,
+                         rates: dict[str, float],
+                         default_rate: float = 0.0) -> Column:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of books, 30% of common crawl, 5% of forums).
+
+    ``rates`` maps stratum value → keep rate; strata not listed keep
+    ``default_rate``.  Within a stratum the kept set is the same nested
+    hash wheel as :func:`sample_predicate`, so raising a stratum's rate
+    only ADDS documents (monotone corpus growth across mix revisions —
+    the property ad-hoc RNG sampling lacks)."""
+    for r in list(rates.values()) + [default_rate]:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError("rates must be in [0, 1]")
+    b = hash_bucket(key, WHEEL)
+    thr = F.lit(int(round(default_rate * WHEEL)))
+    for val, r in rates.items():
+        thr = F.when(strata == val,
+                     F.lit(int(round(r * WHEEL)))).otherwise(thr)
+    return b < thr
+
+
+def stratified_predicate_sql(key: str, strata: str,
+                             rates: dict[str, float],
+                             default_rate: float = 0.0) -> str:
+    whens = " ".join(
+        f"WHEN {strata} = '{v}' THEN {int(round(r * WHEEL))}"
+        for v, r in rates.items())
+    thr = (f"CASE {whens} ELSE {int(round(default_rate * WHEEL))} END"
+           if whens else str(int(round(default_rate * WHEEL))))
+    return f"({hash_bucket_sql(key, WHEEL)} < {thr})"

@@ -146,3 +146,79 @@ def test_normalize_sql_mirror_agrees(spark):
         d = con.execute("SELECT " + normalize_text_sql("?::VARCHAR"),
                         [t]).fetchone()[0]
         assert d == got[i], i
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling / shard packing
+# ---------------------------------------------------------------------------
+
+def test_stratified_rates_and_monotonicity(spark):
+    from ocr_devnagari_spark.functions.splits import stratified_predicate
+    n = 30_000
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b").otherwise("c").alias("s"))
+    rates = {"a": 0.5, "b": 0.1}
+    kept = df.filter(stratified_predicate(F.col("k"), F.col("s"), rates,
+                                          default_rate=0.0))
+    got = {r["s"]: r["c"] for r in kept.groupBy("s")
+           .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert got.get("c") is None                    # default 0 drops c
+    assert got["a"] / (n / 3) == pytest.approx(0.5, abs=0.02)
+    assert got["b"] / (n / 3) == pytest.approx(0.1, abs=0.01)
+    # monotone growth: raising b's rate only ADDS keys
+    kept2 = df.filter(stratified_predicate(
+        F.col("k"), F.col("s"), {"a": 0.5, "b": 0.3}, default_rate=0.0))
+    lost = kept.select("k").exceptAll(kept2.select("k")).count()
+    assert lost == 0
+    with pytest.raises(ValueError):
+        stratified_predicate(F.col("k"), F.col("s"), {"a": 2.0})
+
+
+def _shard_bruteforce(rows, shard_tokens, n_buckets):
+    import hashlib
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8],
+                   16) % n_buckets
+    ordered = sorted(rows, key=lambda r: (bucket(r[0]), r[0]))
+    out, cum = {}, 0
+    for i, tok in ordered:
+        out[i] = (cum // shard_tokens, cum)
+        cum += tok
+    return out
+
+
+def test_assign_shards_matches_bruteforce(spark):
+    from ocr_devnagari_spark.plans.sharding import assign_shards
+    rows = [(i, 10 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: (r["shard"], r["start_off"])
+           for r in assign_shards(df, 1000, n_buckets=16).collect()}
+    assert got == _shard_bruteforce(rows, 1000, 16)
+
+
+def test_shard_report_budget(spark):
+    from ocr_devnagari_spark.plans.sharding import assign_shards, shard_report
+    rows = [(i, 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    rep = {r["shard"]: (r["n_docs"], r["tokens"])
+           for r in shard_report(df, 1000, n_buckets=8).collect()}
+    # 200 docs x 100 tokens / 1000-budget = exactly 20 full shards
+    assert len(rep) == 20
+    assert all(v == (10, 1000) for v in rep.values())
+    with pytest.raises(ValueError):
+        assign_shards(df, 0)
+
+
+def test_shard_window_is_bucket_partitioned(spark):
+    """The corpus-sized window must be hash-partitioned; only the
+    n_buckets-row offsets table may use a global window."""
+    from ocr_devnagari_spark.plans.sharding import assign_shards
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit(10).alias("n_tokens"))
+    plan = (assign_shards(df, 100, n_buckets=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partitionBy=[_b]" in plan.replace(" ", "") or \
+        "_b" in plan.split("Window")[1]
