@@ -1271,7 +1271,8 @@ from ocr_devnagari_spark.functions.text import (  # noqa: E402
 
 def _sq(pat: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal."""
-    return pat.replace("'", "''")
+    from ocr_devnagari_spark.sqlutil import sq
+    return sq(pat)
 
 
 def _valid_sql(c: str) -> str:
@@ -1917,7 +1918,8 @@ def _anchor_terms_sql(k: int = 2) -> str:
         f"unnest(regexp_extract_all(html, '{pat}', 1)) AS href, "
         f"unnest(regexp_extract_all(html, '{pat}', 2)) AS raw FROM pages), "
         "b AS (SELECT src_host, href, trim(regexp_replace(regexp_replace("
-        "raw, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor FROM a), "
+        "regexp_replace(raw, '(?is)<a\\s.*', ''), "
+        "'<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor FROM a), "
         "c AS (SELECT CASE WHEN href LIKE 'https://%' THEN "
         "lower(regexp_replace(regexp_extract(href, "
         "'^https?://([^/?#]*)', 1), ':\\d*$', '')) ELSE src_host END "

@@ -61,19 +61,33 @@ def link_rows(df: DataFrame, url_col: str = "url",
                      .alias("href"))
 
 
-ANCHOR_RE = r"(?is)<a\s[^>]*href\s*=\s*[\"']([^\"'<>\s]+)[\"'][^>]*>(.*?)</a>"
+# href must be a real attribute: either directly after "<a " or preceded
+# by whitespace/quote — "data-href"/"xhref" must not qualify.  RE2-safe
+# (no lookarounds), so the DuckDB oracle runs the identical pattern.
+ANCHOR_RE = (r"(?is)<a\s(?:[^>]*?[\s\"'])?href\s*=\s*"
+             r"[\"']([^\"'<>\s]+)[\"'][^>]*>(.*?)</a>")
+
+# an UNCLOSED inner <a (malformed HTML) makes the outer match's lazy
+# body run through the next anchor's text up to its </a>; truncating the
+# captured body at any embedded "<a" keeps that foreign text out of the
+# anchor (the swallowed anchor's own row cannot be recovered by a
+# lookaround-free pattern — documented limitation; HREF_RE/link_rows
+# still sees its href, so the LINK is never lost, only its anchor text)
+_INNER_A_RE = r"(?is)<a\s.*"
 
 
 def anchor_rows(df: DataFrame, url_col: str = "url",
                 html_col: str = "html") -> DataFrame:
-    """(url, href, anchor) — one row per anchor tag, with its visible
-    text (inner tags stripped, whitespace collapsed/trimmed).
+    """(url, href, anchor) — one row per well-formed anchor tag, with
+    its visible text (inner tags stripped, whitespace collapsed/
+    trimmed, anything after an embedded unclosed ``<a`` dropped).
 
     Both capture groups come from the SAME regex matches, so the two
     ``regexp_extract_all`` arrays are index-aligned by construction and
-    ``arrays_zip`` pairs them correctly.  Anchors whose href does not
-    survive :data:`HREF_RE`'s quoting rules yield no row here either —
-    one source of truth for "is a link".
+    ``arrays_zip`` pairs them correctly.  NOTE: :data:`HREF_RE` /
+    ``link_rows`` remains the source of truth for "is a link" — this
+    stricter pattern requires a closing ``</a>`` and may yield fewer
+    rows on malformed HTML.
     """
     html = F.col(html_col)
     pairs = F.arrays_zip(
@@ -83,7 +97,10 @@ def anchor_rows(df: DataFrame, url_col: str = "url",
                       F.explode(pairs).alias("a"))
             .select("url", F.col("a.href").alias("href"),
                     F.trim(F.regexp_replace(
-                        F.regexp_replace(F.col("a.raw"), r"<[^>]*>", " "),
+                        F.regexp_replace(
+                            F.regexp_replace(F.col("a.raw"),
+                                             _INNER_A_RE, ""),
+                            r"<[^>]*>", " "),
                         r"\s+", " ")).alias("anchor")))
 
 

@@ -40,7 +40,12 @@ def email_count(col: Column) -> Column:
 
 
 def ipv4_count(col: Column) -> Column:
-    return F.regexp_count(col, F.lit(IPV4_RE))
+    """Counted AFTER email masking (a dotted quad inside an email local
+    part, e.g. ``1.2.3.4@example.com``, is consumed by the email
+    replacement and must not be double-reported) — the count always
+    equals the number of ``[IP]`` tokens ``redact_pii`` emits."""
+    return F.regexp_count(
+        F.regexp_replace(col, EMAIL_RE, EMAIL_TOKEN), F.lit(IPV4_RE))
 
 
 def phone_count(col: Column) -> Column:
@@ -70,23 +75,26 @@ def redact_pii(col: Column) -> Column:
 # Oracle SQL mirrors (DuckDB uses RE2 with 'g' for global replace)
 # ---------------------------------------------------------------------------
 
-def _sq(pat: str) -> str:
-    """Escape a regex for a single-quoted DuckDB literal (backslash is
-    NOT an escape character in standard-conforming strings)."""
-    return pat.replace("'", "''")
+from ..sqlutil import sq as _sq  # noqa: E402
 
 
 def email_count_sql(c: str) -> str:
     return f"len(regexp_extract_all({c}, '{_sq(EMAIL_RE)}'))"
 
 
+def _email_masked_sql(c: str) -> str:
+    return (f"regexp_replace({c}, '{_sq(EMAIL_RE)}', "
+            f"'{EMAIL_TOKEN}', 'g')")
+
+
 def ipv4_count_sql(c: str) -> str:
-    return f"len(regexp_extract_all({c}, '{_sq(IPV4_RE)}'))"
+    return (f"len(regexp_extract_all({_email_masked_sql(c)}, "
+            f"'{_sq(IPV4_RE)}'))")
 
 
 def _masked_sql(c: str) -> str:
-    return (f"regexp_replace(regexp_replace({c}, '{_sq(EMAIL_RE)}', "
-            f"'{EMAIL_TOKEN}', 'g'), '{_sq(IPV4_RE)}', '{IPV4_TOKEN}', 'g')")
+    return (f"regexp_replace({_email_masked_sql(c)}, "
+            f"'{_sq(IPV4_RE)}', '{IPV4_TOKEN}', 'g')")
 
 
 def phone_count_sql(c: str) -> str:

@@ -48,21 +48,44 @@ def hash_bucket_sql(key: str, n_buckets: int) -> str:
             f" 1, 8))::UBIGINT % {n_buckets})")
 
 
-def split_assign(key: Column, weights: dict[str, float] | None = None,
-                 ) -> Column:
-    """Named split from cumulative ``weights`` (default 98/1/1
-    train/val/test).  Weights must sum to 1 within wheel resolution;
-    assignment order is the dict order (part of the spec — iterate a
-    plain dict, insertion-ordered)."""
+def _split_boundaries(weights: dict[str, float] | None
+                      ) -> tuple[dict, list]:
+    """Validated (weights, cumulative upper boundaries) — ONE
+    computation shared by the Column and SQL builders.  Boundaries are
+    the ROUNDED CUMULATIVE sums (rounding each weight independently can
+    overshoot), and every non-final split must end strictly below
+    WHEEL and strictly above its predecessor — otherwise a later split
+    would be silently empty, which raises instead."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     if abs(sum(weights.values()) - 1.0) > 1.0 / WHEEL:
         raise ValueError("split weights must sum to 1")
+    names = list(weights)
+    bounds, cum, prev = [], 0.0, 0
+    for name in names[:-1]:
+        cum += weights[name]
+        hi = int(round(cum * WHEEL))
+        if hi <= prev or hi >= WHEEL:
+            raise ValueError(
+                f"split '{name}' boundary {hi} leaves a later split "
+                f"empty at wheel resolution 1/{WHEEL}; use coarser "
+                "weights")
+        bounds.append(hi)
+        prev = hi
+    return weights, bounds
+
+
+def split_assign(key: Column, weights: dict[str, float] | None = None,
+                 ) -> Column:
+    """Named split from cumulative ``weights`` (default 98/1/1
+    train/val/test).  Weights must sum to 1 within wheel resolution
+    and give every split at least one bucket; assignment order is the
+    dict order (part of the spec — iterate a plain dict,
+    insertion-ordered)."""
+    weights, bounds = _split_boundaries(weights)
     b = hash_bucket(key, WHEEL)
     expr = None
-    hi = 0
     names = list(weights)
-    for name in names[:-1]:
-        hi += int(round(weights[name] * WHEEL))
+    for name, hi in zip(names[:-1], bounds):
         cond = b < hi
         expr = (F.when(cond, F.lit(name)) if expr is None
                 else expr.when(cond, F.lit(name)))
@@ -72,16 +95,15 @@ def split_assign(key: Column, weights: dict[str, float] | None = None,
 
 def split_assign_sql(key: str, weights: dict[str, float] | None = None,
                      ) -> str:
-    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    from ..sqlutil import sq
+    weights, bounds = _split_boundaries(weights)
     b = hash_bucket_sql(key, WHEEL)
     names = list(weights)
-    parts, hi = [], 0
-    for name in names[:-1]:
-        hi += int(round(weights[name] * WHEEL))
-        parts.append(f"WHEN {b} < {hi} THEN '{name}'")
+    parts = [f"WHEN {b} < {hi} THEN '{sq(name)}'"
+             for name, hi in zip(names[:-1], bounds)]
     if not parts:
-        return f"'{names[-1]}'"
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        return f"'{sq(names[-1])}'"
+    return "CASE " + " ".join(parts) + f" ELSE '{sq(names[-1])}' END"
 
 
 def sample_predicate(key: Column, rate: float) -> Column:
@@ -120,8 +142,9 @@ def stratified_predicate(key: Column, strata: Column,
 def stratified_predicate_sql(key: str, strata: str,
                              rates: dict[str, float],
                              default_rate: float = 0.0) -> str:
+    from ..sqlutil import sq
     whens = " ".join(
-        f"WHEN {strata} = '{v}' THEN {int(round(r * WHEEL))}"
+        f"WHEN {strata} = '{sq(v)}' THEN {int(round(r * WHEEL))}"
         for v, r in rates.items())
     thr = (f"CASE {whens} ELSE {int(round(default_rate * WHEEL))} END"
            if whens else str(int(round(default_rate * WHEEL))))

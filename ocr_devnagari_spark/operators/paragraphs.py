@@ -79,10 +79,22 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("keep must be 'all' or 'first'")
     paras = paragraph_rows(df, id_col, text_col, sep)
     if keep == "first":
-        from pyspark.sql import Window
-        w = Window.partitionBy("para").orderBy(F.col(id_col), F.col("pos"))
-        marked = paras.withColumn(
-            "_keep", F.row_number().over(w) == 1)
+        # NOT a window over partitionBy(para): a boilerplate paragraph
+        # repeated on 10M pages would funnel 10M rows into one window
+        # task.  groupBy+min reduces each paragraph to ONE row via
+        # map-side partial aggregation, then a join-back compares —
+        # and a skewed join key is splittable by AQE's skew-join
+        # handling, which windows never get.
+        firsts = (paras
+                  .groupBy("para")
+                  .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                      F.col("pos").alias("p")))
+                       .alias("_first")))
+        marked = (paras.join(firsts, on="para")
+                  .withColumn("_keep",
+                              (F.col("_first.i") == F.col(id_col))
+                              & (F.col("_first.p") == F.col("pos")))
+                  .drop("_first"))
     else:
         per_para = (paras
                     .groupBy("para")
@@ -133,6 +145,9 @@ def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                       word_ngrams(F.col(eval_text_col), n)).alias("gram"))
                   .distinct())
     if broadcast_eval is None:
+        # persist across the gate count AND the join — otherwise the
+        # explode+distinct lineage executes twice
+        eval_grams = eval_grams.persist()
         broadcast_eval = eval_grams.count() <= BROADCAST_GRAM_LIMIT
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)

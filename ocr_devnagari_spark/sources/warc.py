@@ -54,7 +54,9 @@ def iter_warc_records(stream, with_spans: bool = False) -> Iterator:
             return
         if not line.startswith(b"WARC/"):
             continue                      # inter-record padding
-        start = buf.tell() - len(line)
+        # tell() only when spans are requested — it raises on
+        # non-seekable streams (pipes), which plain iteration supports
+        start = (buf.tell() - len(line)) if with_spans else 0
         header_lines = []
         while True:
             ln = buf.readline()

@@ -222,3 +222,18 @@ def test_shard_window_is_bucket_partitioned(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partitionBy=[_b]" in plan.replace(" ", "") or \
         "_b" in plan.split("Window")[1]
+
+
+def test_split_weights_that_starve_a_split_raise(spark):
+    from ocr_devnagari_spark.functions.splits import split_assign
+    with pytest.raises(ValueError):
+        split_assign(F.lit("x"), {"train": 0.99995, "val": 0.00005})
+
+
+def test_paragraph_first_mode_has_no_window(spark):
+    from ocr_devnagari_spark.operators.paragraphs import paragraph_dedup
+    df = spark.createDataFrame([(0, "a\nb"), (1, "a")],
+                               "doc_id long, text string")
+    plan = (paragraph_dedup(df, keep="first")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan

@@ -250,3 +250,77 @@ def test_anchor_term_stats_topk_and_host_resolution(spark):
            for r in anchor_term_stats(df, k=1)
            .orderBy("dst_host").collect()]
     assert got == [("src.net", "delta", 1), ("t.org", "alpha", 2)]
+
+
+# ---------------------------------------------------------------------------
+# review-fix pins (round 4 second pass)
+# ---------------------------------------------------------------------------
+
+def test_pii_quad_inside_email_counts_once(spark):
+    """A dotted quad consumed by the email replacement must not also be
+    reported as an IP — every count equals its emitted token count."""
+    df = spark.createDataFrame(
+        [(0, "write 1.2.3.4@example.com or ping 5.6.7.8")], "id long, t string")
+    r = df.select(
+        pii.email_count(F.col("t")).alias("e"),
+        pii.ipv4_count(F.col("t")).alias("i"),
+        pii.pii_count(F.col("t")).alias("n"),
+        pii.redact_pii(F.col("t")).alias("red")).collect()[0]
+    assert (r["e"], r["i"]) == (1, 1)
+    assert r["red"] == "write [EMAIL] or ping [IP]"
+    assert r["n"] == 2
+
+
+def test_anchor_data_href_is_not_a_link(spark):
+    html = ('<a id="z" data-href="https://evil.com/x">text</a>'
+            '<a class=c href="https://ok.com/y">good</a>')
+    df = spark.createDataFrame([("u", html, "s.net")],
+                               "url string, html string, host string")
+    got = [(r["href"], r["anchor"]) for r in anchor_rows(df).collect()]
+    assert got == [("https://ok.com/y", "good")]
+
+
+def test_anchor_unclosed_inner_a_truncates_foreign_text(spark):
+    html = ('<a href="https://a.com/1">one '
+            '<a href="https://b.com/2">two</a>')
+    df = spark.createDataFrame([("u", html, "s.net")],
+                               "url string, html string, host string")
+    got = [(r["href"], r["anchor"]) for r in anchor_rows(df).collect()]
+    # b.com's anchor text must not leak into a.com's row; the link
+    # itself is still visible to link_rows/HREF_RE
+    assert got == [("https://a.com/1", "one")]
+    from ocr_devnagari_spark.functions.links import link_rows
+    hrefs = {r["href"] for r in link_rows(
+        df.select("url", "html")).collect()}
+    assert hrefs == {"https://a.com/1", "https://b.com/2"}
+
+
+def test_warc_iteration_on_nonseekable_stream():
+    """Plain iteration must not call tell() (pipes are unseekable)."""
+    import io
+
+    from ocr_devnagari_spark.sources.warc import (
+        iter_warc_records,
+        write_warc,
+    )
+
+    class NoSeek(io.RawIOBase):
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+
+        def readable(self):
+            return True
+
+        def readinto(self, b):
+            return self._b.readinto(b)
+
+        def seekable(self):
+            return False
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".warc") as f:
+        write_warc(f.name, [("http://x/a", "2024-01-01T00:00:00Z",
+                             b"<html>a</html>", "response")])
+        data = open(f.name, "rb").read()
+    recs = list(iter_warc_records(io.BufferedReader(NoSeek(data))))
+    assert len(recs) == 1 and recs[0][0]["warc-target-uri"] == "http://x/a"
