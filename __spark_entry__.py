@@ -334,6 +334,28 @@ def _sitemap_corpus_sql() -> str:
 _MIX_RATES = {"en": 0.5, "hi": 0.2, "zh": 0.05}
 
 
+def _script_text() -> F.Column:
+    """Deterministic per-script spikes so every SCRIPT_RANGES family has
+    signal on the (Latin-only) driver corpus."""
+    return (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" देवनागरी पाठ")))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.col("text"), F.lit(" 中文内容")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.col("text"), F.lit(" نص عربي")))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.concat(F.col("text"), F.lit(" русский текст")))
+            .otherwise(F.col("text")))
+
+
+_SCRIPT_TEXT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' देवनागरी पाठ' "
+    "WHEN doc_id % 5 = 1 THEN text || ' 中文内容' "
+    "WHEN doc_id % 5 = 2 THEN text || ' نص عربي' "
+    "WHEN doc_id % 5 = 3 THEN text || ' русский текст' "
+    "ELSE text END")
+
+
 def _unnorm_text() -> F.Column:
     """Deterministic denormalized-unicode spikes: decomposed accents
     (e+U+0301, n+U+0303), a C0 control char, and tab/space runs."""
@@ -1248,6 +1270,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_docs")))
     q["stratified_mix"] = stratified_mix
 
+    # ---- script composition (writing-system ratios + dominant) ----
+    def script_matrix(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import (
+            dominant_script,
+            script_ratios,
+        )
+        d = _t(spark, sf_dir, "documents")
+        t = _script_text()
+        ratios = script_ratios(t)
+        return d.select(
+            "doc_id",
+            *[ratios[s].alias(f"{s}_ratio") for s in sorted(ratios)],
+            dominant_script(t).alias("script"))
+    q["script_matrix"] = script_matrix
+
+    # ---- re-crawl delta over capture digests ----
+    def crawl_diff_report(spark, sf_dir):
+        from ocr_devnagari_spark.sources.warc import crawl_diff
+        d = _t(spark, sf_dir, "documents")
+        url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        old = (d.filter(F.col("doc_id") % 7 != 0)
+               .select(url.alias("url"), F.md5("text").alias("digest")))
+        new = (d.filter(F.col("doc_id") % 7 != 1)
+               .select(url.alias("url"),
+                       F.md5(F.when(F.col("doc_id") % 3 == 0,
+                                    F.concat(F.col("text"), F.lit(" v2")))
+                             .otherwise(F.col("text"))).alias("digest")))
+        return (crawl_diff(old, new).groupBy("change")
+                .agg(F.count(F.lit(1)).alias("n_urls")))
+    q["crawl_diff_report"] = crawl_diff_report
+
     return q
 
 
@@ -1933,6 +1986,41 @@ def _anchor_terms_sql(k: int = 2) -> str:
         f"WHERE rk <= {k}")
 
 
+def _script_matrix_sql() -> str:
+    from ocr_devnagari_spark.functions.text import (
+        SCRIPT_ORDER,
+        SCRIPT_RANGES,
+    )
+    cnt = {s: f"len(regexp_extract_all(t, '{SCRIPT_RANGES[s]}'))"
+           for s in SCRIPT_ORDER}
+    chars = "length(regexp_replace(t, '\\s+', '', 'g'))"
+    ratios = ", ".join(
+        f"round(CASE WHEN {chars} > 0 THEN {cnt[s]} * 1.0 / {chars} "
+        f"ELSE 0.0 END, 6) AS {s}_ratio" for s in SCRIPT_ORDER)
+    mx = "greatest(" + ", ".join(cnt.values()) + ")"
+    dom = "'other'"
+    for s in reversed(SCRIPT_ORDER):
+        dom = f"CASE WHEN {cnt[s]} = {mx} THEN '{s}' ELSE {dom} END"
+    dom = f"CASE WHEN {mx} > 0 THEN {dom} ELSE 'other' END"
+    return (f"SELECT doc_id, {ratios}, {dom} AS script FROM "
+            f"(SELECT doc_id, {_SCRIPT_TEXT_SQL} AS t FROM documents)")
+
+
+def _crawl_diff_sql() -> str:
+    return (
+        "WITH o AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "md5(text) AS old_digest FROM documents WHERE doc_id % 7 <> 0), "
+        "n AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, "
+        "md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) "
+        "AS new_digest FROM documents WHERE doc_id % 7 <> 1) "
+        "SELECT change, count(*) AS n_urls FROM ("
+        "SELECT CASE WHEN old_digest IS NULL THEN 'new' "
+        "WHEN new_digest IS NULL THEN 'gone' "
+        "WHEN old_digest <> new_digest THEN 'changed' "
+        "ELSE 'unchanged' END AS change "
+        "FROM o FULL OUTER JOIN n USING (url)) GROUP BY change")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
 
@@ -2224,4 +2312,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_mix": (
             "SELECT lang, count(*) AS n_docs FROM documents "
             f"WHERE {_strat_sql} GROUP BY lang"),
+        "script_matrix": _script_matrix_sql(),
+        "crawl_diff_report": _crawl_diff_sql(),
     }

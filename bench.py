@@ -72,7 +72,8 @@ def main() -> None:
     import __spark_entry__ as em
     qs = em.queries()
     for name in ("tpch_q1", "tpch_q3_top10", "dedup_minhash",
-                 "sim_cosine_topk", "quality_scores", "m5_route_stats"):
+                 "sim_cosine_topk", "quality_scores", "m5_route_stats",
+                 "repetition_gate", "curate_report"):
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()

@@ -319,6 +319,48 @@ def gopher_pass(col: Column, min_words: int = 40,
 
 
 # ---------------------------------------------------------------------------
+# Script composition (writing-system character ratios)
+# ---------------------------------------------------------------------------
+
+# Unicode block ranges, expressed identically in Java regex and RE2.
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "devanagari": r"[ऀ-ॿ]",
+    "cjk": r"[一-鿿぀-ヿ가-힯]",
+    "arabic": r"[؀-ۿ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+}
+SCRIPT_ORDER = tuple(sorted(SCRIPT_RANGES))   # tie-break: alphabetical
+
+
+def script_counts(col: Column) -> dict:
+    return {name: F.regexp_count(col, F.lit(pat))
+            for name, pat in SCRIPT_RANGES.items()}
+
+
+def script_ratios(col: Column) -> dict:
+    """Per-script character fraction of the NON-whitespace text (0.0
+    when empty), rounded to 6 d.p. — the signal mixed-script spam
+    filters and per-script routing key on."""
+    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    return {name: F.round(F.when(chars > 0, cnt.cast("double") / chars)
+                          .otherwise(F.lit(0.0)), 6)
+            for name, cnt in script_counts(col).items()}
+
+
+def dominant_script(col: Column) -> Column:
+    """argmax over script char counts; 'other' when all zero.  Ties
+    break by SCRIPT_ORDER (first name with the max count) — the same
+    CASE-chain rule as ``lang_id``, part of the spec."""
+    counts = script_counts(col)
+    mx = F.greatest(*counts.values())
+    expr = F.lit("other")
+    for name in reversed(SCRIPT_ORDER):
+        expr = F.when(counts[name] == mx, F.lit(name)).otherwise(expr)
+    return F.when(mx > 0, expr).otherwise(F.lit("other"))
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CRLF = b"\r\n"
 
@@ -300,6 +301,40 @@ def warc_cdx_index(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=CDX_COLUMNS)
 
     return files.mapInPandas(parse, schema)
+
+
+def crawl_diff(old: DataFrame, new: DataFrame,
+               url_col: str = "url", digest_col: str = "digest"
+               ) -> DataFrame:
+    """Re-crawl delta from two capture indexes (CDX tables or anything
+    carrying (url, content digest)): ``(url, change)`` where change ∈
+    ``new`` / ``gone`` / ``changed`` / ``unchanged``.
+
+    Multiple captures of one url collapse to the LATEST digest per side
+    when a ``warc_ts`` column is present, else to the max digest
+    (deterministic either way).  One full outer join on url — at crawl
+    scale both sides are url-hash-partitioned digests, no payloads.
+    """
+    def latest(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        if "warc_ts" in cols:
+            pick = F.max(F.struct(F.col("warc_ts"),
+                                  F.col(digest_col).alias("d")))
+        else:
+            pick = F.max(F.struct(F.col(digest_col).alias("d")))
+        return (df.groupBy(F.col(url_col).alias("url"))
+                .agg(pick.alias("_p"))
+                .select("url", F.col("_p.d").alias("digest")))
+
+    o = latest(old).withColumnRenamed("digest", "old_digest")
+    n = latest(new).withColumnRenamed("digest", "new_digest")
+    joined = o.join(n, on="url", how="full_outer")
+    change = (F.when(F.col("old_digest").isNull(), F.lit("new"))
+              .when(F.col("new_digest").isNull(), F.lit("gone"))
+              .when(F.col("old_digest") != F.col("new_digest"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return joined.select("url", change.alias("change"))
 
 
 # -- test/demo helper ---------------------------------------------------------

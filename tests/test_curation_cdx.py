@@ -130,3 +130,67 @@ def test_sitemap_urls_global_dedup_comment(spark):
     got = sorted((r["host"], r["sitemap_url"])
                  for r in sitemap_urls(df).collect())
     assert got == [("h1", "https://h1/s.xml"), ("h2", "https://h2/a.xml")]
+
+
+# ---------------------------------------------------------------------------
+# script composition / crawl diff
+# ---------------------------------------------------------------------------
+
+def test_script_ratios_and_dominant(spark):
+    from ocr_devnagari_spark.functions.text import (
+        dominant_script,
+        script_ratios,
+    )
+    rows = [(0, "hello world"),             # latin
+            (1, "नमस्ते दुनिया"),              # devanagari
+            (2, "你好 世界"),                 # cjk
+            (3, "hello नमस्ते"),              # mixed — latin 5 vs deva 6
+            (4, "12345 !!!")]               # none → other
+    df = spark.createDataFrame(rows, "id long, t string")
+    r = script_ratios(F.col("t"))
+    got = {x["id"]: x for x in df.select(
+        "id", r["latin"].alias("lat"), r["devanagari"].alias("dev"),
+        dominant_script(F.col("t")).alias("s")).collect()}
+    assert got[0]["s"] == "latin" and got[0]["lat"] == 1.0
+    assert got[1]["s"] == "devanagari" and got[1]["lat"] == 0.0
+    assert got[2]["s"] == "cjk"
+    assert got[3]["s"] == "devanagari"     # 6 deva chars > 5 latin
+    assert got[4]["s"] == "other"
+    # ratios are over non-whitespace chars
+    assert got[3]["lat"] == pytest.approx(5 / 11, abs=1e-6)
+
+
+def test_dominant_script_tiebreak_alphabetical(spark):
+    from ocr_devnagari_spark.functions.text import dominant_script
+    df = spark.createDataFrame([(0, "a न")], "id long, t string")
+    # 1 latin vs 1 devanagari → first alphabetical wins
+    assert df.select(dominant_script(F.col("t")).alias("s")
+                     ).collect()[0]["s"] == "devanagari"
+
+
+def test_crawl_diff_categories(spark):
+    from ocr_devnagari_spark.sources.warc import crawl_diff
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")],
+        "url string, digest string")
+    got = {r["url"]: r["change"] for r in crawl_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "gone", "u4": "new"}
+
+
+def test_crawl_diff_latest_capture_wins(spark):
+    import datetime as dt
+    from ocr_devnagari_spark.sources.warc import crawl_diff
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+    old = spark.createDataFrame([("u", t1, "stale"), ("u", t2, "fresh")],
+                                "url string, warc_ts timestamp, "
+                                "digest string")
+    new = spark.createDataFrame([("u", t1, "fresh")],
+                                "url string, warc_ts timestamp, "
+                                "digest string")
+    got = crawl_diff(old, new).collect()
+    assert got[0]["change"] == "unchanged"
