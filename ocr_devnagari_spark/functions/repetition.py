@@ -23,14 +23,13 @@ stated precisely so the DuckDB oracle can mirror it bit-for-bit:
 - ``top_gram`` tie-break: highest char mass, then lexicographically
   greatest gram (struct max), part of the spec.
 
-Scale notes: n-grams are built JVM-side in the array domain
-(``transform`` + ``slice`` over the split words — no window, no
-per-document partition pinning), then exploded into ONE
-``groupBy(id, gram)`` with map-side partial aggregation and a second
-tiny ``groupBy(id)``.  Keys are (doc, gram) pairs so a hot gram does
-not create a hot partition; per-doc output is one row.  This is the
-plan shape that survives 100 TB — nothing is collected, and the only
-state is the aggregation hash maps.
+Scale notes: a per-document statistic never needs to leave its row.
+N-grams are built JVM-side in the array domain (``transform`` +
+``slice`` over the split words), sorted in-row, and reduced by ONE
+``F.aggregate`` pass over run-lengths — no explode, no shuffle, no
+join; the whole signal frame is a single whole-stage-codegen
+projection, embarrassingly parallel at any corpus size.  Cost is
+O(L log L) per document in the array sort.
 
 No counterpart in the reference (an OCR orchestrator); this family is
 part of the engine's web-corpus surface alongside functions/text.py's
@@ -61,39 +60,75 @@ def word_ngrams(col: Column, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def _run_stats(sorted_grams: Column) -> Column:
+    """struct(top, topg, dup) from a SORTED gram array via one
+    ``F.aggregate`` pass over run-lengths — per-document repetition is
+    a per-ROW statistic, so it never needs to leave the row: no
+    explode, no shuffle, pure whole-stage codegen.
+
+    ``top`` = max over runs of run·len(gram) (ties: the ``>=`` update
+    on the ascending-sorted array keeps the lexicographically GREATEST
+    gram, the documented tie rule); ``dup`` = Σ (run−1)·len(gram) over
+    runs ≥ 2.  The "" sentinel is safe: an n≥2 gram always contains
+    the join space, and for n=1 an empty first gram simply extends the
+    zero-length initial run (counted correctly from run=0).
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("top"), F.lit("").alias("topg"),
+                    zero.alias("dup"))
+
+    def _closed(acc):
+        # stats of the run that just ended (acc.prev × acc.run)
+        mass = acc["run"] * F.length(acc["prev"])
+        better = (acc["run"] > 0) & (mass >= acc["top"])
+        return (F.when(better, mass).otherwise(acc["top"]),
+                F.when(better, acc["prev"]).otherwise(acc["topg"]),
+                F.when(acc["run"] >= 2,
+                       acc["dup"] + (acc["run"] - 1)
+                       * F.length(acc["prev"])).otherwise(acc["dup"]))
+
+    def step(acc, g):
+        same = acc["prev"] == g
+        top, topg, dup = _closed(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"]).otherwise(top).alias("top"),
+            F.when(same, acc["topg"]).otherwise(topg).alias("topg"),
+            F.when(same, acc["dup"]).otherwise(dup).alias("dup"))
+
+    def finish(acc):
+        top, topg, dup = _closed(acc)
+        return F.struct(top.alias("top"), topg.alias("topg"),
+                        dup.alias("dup"))
+
+    return F.aggregate(sorted_grams, init, step, finish)
+
+
 def ngram_stats(df: DataFrame, n: int, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document n-gram repetition stats.
 
     Returns ``(id_col, top_gram, top_frac, dup_frac)`` with the
     definitions in the module docstring, fractions rounded to 6 d.p.
+    Documents with fewer than ``n`` words yield no row (callers
+    left-join and treat NULL as "cannot repeat").
     """
-    base = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("_total"),
-        word_ngrams(F.col(text_col), n).alias("_grams"),
-    )
-    counts = (base
-              .select(id_col, "_total", F.explode("_grams").alias("gram"))
-              .groupBy(id_col, "_total", "gram")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    mass = (F.col("cnt") * F.length("gram")).cast("long")
-    per_doc = (counts
-               .groupBy(id_col, "_total")
-               .agg(
-                   F.max(F.struct(mass.alias("chars"),
-                                  F.col("gram"))).alias("_top"),
-                   F.sum(F.when(F.col("cnt") >= 2,
-                                (F.col("cnt") - 1) * F.length("gram"))
-                         .otherwise(F.lit(0))).alias("_dup")))
+    grams = word_ngrams(F.col(text_col), n)
+    st = _run_stats(F.array_sort(grams))
     frac = lambda c: F.round(  # noqa: E731
         F.least(F.lit(1.0), c.cast("double") / F.col("_total")), 6)
-    return per_doc.select(
-        F.col(id_col),
-        F.col("_top.gram").alias("top_gram"),
-        frac(F.col("_top.chars")).alias("top_frac"),
-        frac(F.col("_dup")).alias("dup_frac"),
-    )
+    return (df.select(F.col(id_col),
+                      F.length(F.col(text_col)).alias("_total"),
+                      F.size(grams).alias("_ng"),
+                      st.alias("_st"))
+            .filter(F.col("_ng") > 0)
+            .select(F.col(id_col),
+                    F.col("_st.topg").alias("top_gram"),
+                    frac(F.col("_st.top")).alias("top_frac"),
+                    frac(F.col("_st.dup")).alias("dup_frac")))
 
 
 def repetition_signals(df: DataFrame, top_ns: tuple = (2, 3),
@@ -102,56 +137,51 @@ def repetition_signals(df: DataFrame, top_ns: tuple = (2, 3),
     """Per-document signal frame: one ``top{n}_frac`` column per entry
     of ``top_ns`` and one ``dup{n}_frac`` per ``dup_ns``.
 
-    FUSED plan: every requested n contributes (n, gram) structs to ONE
-    array that explodes once, so the corpus is scanned once and the
-    gram traffic shuffles through a single ``groupBy(id, n, gram)`` →
-    ``groupBy(id, n)`` → pivot cascade (vs one full cascade per n).
-    Documents shorter than every requested n still appear (left join
-    from the id spine) with NULL signals — callers treat NULL as
-    "cannot repeat", i.e. pass.
+    SHUFFLE-FREE: per-document repetition is a per-row statistic, so
+    every n's signals are just more projected columns over the same
+    scan (``_run_stats`` over the sorted gram array — no explode, no
+    aggregation exchange, no join; the whole frame is one
+    whole-stage-codegen projection).  Documents shorter than a given n
+    carry NULL for that n's signals — callers treat NULL as "cannot
+    repeat", i.e. pass.
     """
     ns = sorted(set(top_ns) | set(dup_ns))
-
-    def _tag(n):
-        # a ONE-argument lambda is mandatory: F.transform treats a
-        # second parameter as the element-index slot, which would
-        # silently shadow the captured n
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
-
-    tagged = F.concat(*[
-        F.transform(word_ngrams(F.col(text_col), n), _tag(n))
-        for n in ns])
-    base = df.select(F.col(id_col),
-                     F.length(F.col(text_col)).alias("_total"),
-                     F.explode(tagged).alias("t"))
-    counts = (base
-              .groupBy(id_col, "_total", F.col("t.n").alias("n"),
-                       F.col("t.gram").alias("gram"))
-              .agg(F.count(F.lit(1)).alias("cnt")))
+    total = F.length(F.col(text_col))
     frac = lambda c: F.round(  # noqa: E731
-        F.least(F.lit(1.0), c.cast("double") / F.col("_total")), 6)
-    per = (counts
-           .groupBy(id_col, "_total", "n")
-           .agg(F.max((F.col("cnt") * F.length("gram")).cast("long"))
-                .alias("_top"),
-                F.sum(F.when(F.col("cnt") >= 2,
-                             (F.col("cnt") - 1) * F.length("gram"))
-                      .otherwise(F.lit(0))).alias("_dup"))
-           .select(id_col, "n", frac(F.col("_top")).alias("top_frac"),
-                   frac(F.col("_dup")).alias("dup_frac")))
-    pivoted = (per.groupBy(id_col).pivot("n", ns)
-               .agg(F.first("top_frac").alias("top"),
-                    F.first("dup_frac").alias("dup")))
+        F.least(F.lit(1.0), c.cast("double") / total), 6)
     cols = [F.col(id_col)]
     for n in ns:
-        # a two-agg pivot names columns "{value}_{agg alias}"
+        grams = word_ngrams(F.col(text_col), n)
+        st = _run_stats(F.array_sort(grams))
+        present = F.size(grams) > 0
         if n in top_ns:
-            cols.append(F.col(f"`{n}_top`").alias(f"top{n}_frac"))
+            cols.append(F.when(present, frac(st["top"]))
+                        .alias(f"top{n}_frac"))
         if n in dup_ns:
-            cols.append(F.col(f"`{n}_dup`").alias(f"dup{n}_frac"))
-    out = df.select(id_col).join(pivoted.select(*cols), on=id_col,
-                                 how="left")
-    return out
+            cols.append(F.when(present, frac(st["dup"]))
+                        .alias(f"dup{n}_frac"))
+    return df.select(*cols)
+
+
+def repetition_pass_expr(text: Column, max_top2: float = 0.20,
+                         max_top3: float = 0.18,
+                         max_dup5: float = 0.15) -> Column:
+    """Boolean Gopher repetition gate as ONE Column expression — lets
+    compositions (plans/curation.py) filter inline with zero joins.
+    NULL signals (doc shorter than n) count as passing."""
+
+    def sig(n, field):
+        grams = word_ngrams(text, n)
+        val = _run_stats(F.array_sort(grams))[field].cast("double") \
+            / F.length(text)
+        return F.coalesce(
+            F.when(F.size(grams) > 0,
+                   F.round(F.least(F.lit(1.0), val), 6)),
+            F.lit(0.0))
+
+    return ((sig(2, "top") <= max_top2)
+            & (sig(3, "top") <= max_top3)
+            & (sig(5, "dup") <= max_dup5))
 
 
 def gopher_repetition_pass(df: DataFrame, id_col: str = "doc_id",

@@ -15,7 +15,7 @@ One declarative plan chaining the public web-corpus recipe:
    (``functions/splits.split_assign``).
 
 Everything stays one Catalyst plan: the gates are codegen
-expressions, the repetition signals one explode+agg join, dedup one
+expressions, the repetition signals in-row aggregate expressions, dedup one
 hash-partitioned window, the split a pure projection.  Spark pipelines
 the whole thing — no intermediate materialization, and every shuffle
 is keyed (doc id / text hash), never all-pairs.  At 100 TB the plan is
@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.repetition import gopher_repetition_pass
+from ..functions.repetition import repetition_pass_expr
 from ..functions.splits import split_assign
 from ..functions.text import gopher_pass, token_count
 
@@ -46,12 +46,8 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
     only.  ``df`` must carry ``host_col`` (the leakage unit for the
     split)."""
     text = F.col(text_col)
-    gated = (df
-             .join(gopher_repetition_pass(df, id_col=id_col,
-                                          text_col=text_col)
-                   .select(id_col, "rep_pass"), on=id_col)
-             .filter(gopher_pass(text, min_words=min_words)
-                     & F.col("rep_pass")))
+    gated = df.filter(gopher_pass(text, min_words=min_words)
+                      & repetition_pass_expr(text))
     w = Window.partitionBy(F.md5(text)).orderBy(F.col(id_col))
     deduped = (gated
                .withColumn("_rn", F.row_number().over(w))
