@@ -1301,6 +1301,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_urls")))
     q["crawl_diff_report"] = crawl_diff_report
 
+    # ---- token-count histogram (fixed 20-token buckets, capped) ----
+    def token_histogram(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        toks = token_count(F.col("text"))
+        bucket = F.least(F.floor(toks / 20).cast("long"), F.lit(9))
+        return (d.select(bucket.alias("bucket"),
+                         toks.alias("toks"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("toks").cast("long").alias("total_tokens")))
+    q["token_histogram"] = token_histogram
+
+    # ---- per-domain corpus dashboard (tokens, quality, top lang) ----
+    def domain_report(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import quality_score
+        from pyspark.sql import Window
+        d = _t(spark, sf_dir, "documents")
+        domain = F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"),
+                          F.lit(".org"))
+        base = d.select(domain.alias("domain"), "lang",
+                        token_count(F.col("text")).alias("toks"),
+                        quality_score(F.col("text")).alias("q"))
+        stats = (base.groupBy("domain")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("toks").cast("long").alias("total_tokens"),
+                      F.round(F.avg("q"), 6).alias("avg_quality")))
+        lang_counts = (base.groupBy("domain", "lang")
+                       .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("domain").orderBy(F.col("c").desc(),
+                                                 F.col("lang"))
+        top = (lang_counts.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select("domain", F.col("lang").alias("top_lang")))
+        return stats.join(top, "domain")
+    q["domain_report"] = domain_report
+
     return q
 
 
@@ -2314,4 +2350,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_strat_sql} GROUP BY lang"),
         "script_matrix": _script_matrix_sql(),
         "crawl_diff_report": _crawl_diff_sql(),
+        "token_histogram": (
+            "SELECT least(CAST(floor(toks / 20.0) AS BIGINT), 9) "
+            "AS bucket, count(*) AS n_docs, "
+            "CAST(sum(toks) AS BIGINT) AS total_tokens FROM ("
+            "SELECT len(regexp_extract_all(text, '\\S+')) AS toks "
+            "FROM documents) GROUP BY 1"),
+        "domain_report": (
+            "WITH base AS (SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.org' AS domain, lang, "
+            "len(regexp_extract_all(text, '\\S+')) AS toks, "
+            f"{_quality_expr('text')} AS q FROM documents), "
+            "stats AS (SELECT domain, count(*) AS n_docs, "
+            "CAST(sum(toks) AS BIGINT) AS total_tokens, "
+            "round(avg(q), 6) AS avg_quality FROM base GROUP BY domain), "
+            "top AS (SELECT domain, lang AS top_lang FROM ("
+            "SELECT domain, lang, row_number() OVER ("
+            "PARTITION BY domain ORDER BY count(*) DESC, lang) AS rk "
+            "FROM base GROUP BY domain, lang) WHERE rk = 1) "
+            "SELECT s.domain, s.n_docs, s.total_tokens, s.avg_quality, "
+            "t.top_lang FROM stats s JOIN top t USING (domain)"),
     }
