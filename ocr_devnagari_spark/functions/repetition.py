@@ -60,49 +60,64 @@ def word_ngrams(col: Column, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
-def _run_stats(sorted_grams: Column) -> Column:
-    """struct(top, topg, dup) from a SORTED gram array via one
+def _run_stats(sorted_grams: Column, with_gram: bool = True) -> Column:
+    """struct(top, dup[, topg]) from a SORTED gram array via one
     ``F.aggregate`` pass over run-lengths — per-document repetition is
     a per-ROW statistic, so it never needs to leave the row: no
-    explode, no shuffle, pure whole-stage codegen.
+    explode, no shuffle.
 
     ``top`` = max over runs of run·len(gram) (ties: the ``>=`` update
     on the ascending-sorted array keeps the lexicographically GREATEST
     gram, the documented tie rule); ``dup`` = Σ (run−1)·len(gram) over
-    runs ≥ 2.  The "" sentinel is safe: an n≥2 gram always contains
-    the join space, and for n=1 an empty first gram simply extends the
-    zero-length initial run (counted correctly from run=0).
+    runs ≥ 2.  ``with_gram=False`` drops the tie-broken gram STRING
+    from the accumulator — the signal frame only needs the fractions,
+    and a narrower accumulator is measurably cheaper on the
+    higher-order-function evaluation path.  The "" sentinel is safe:
+    an n≥2 gram always contains the join space, and for n=1 an empty
+    first gram simply extends the zero-length initial run (counted
+    correctly from run=0).
     """
     zero = F.lit(0).cast("long")
-    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
-                    zero.alias("top"), F.lit("").alias("topg"),
-                    zero.alias("dup"))
+    fields = [F.lit("").alias("prev"), zero.alias("run"),
+              zero.alias("top"), zero.alias("dup")]
+    if with_gram:
+        fields.append(F.lit("").alias("topg"))
+    init = F.struct(*fields)
 
     def _closed(acc):
         # stats of the run that just ended (acc.prev × acc.run)
         mass = acc["run"] * F.length(acc["prev"])
         better = (acc["run"] > 0) & (mass >= acc["top"])
-        return (F.when(better, mass).otherwise(acc["top"]),
-                F.when(better, acc["prev"]).otherwise(acc["topg"]),
-                F.when(acc["run"] >= 2,
-                       acc["dup"] + (acc["run"] - 1)
-                       * F.length(acc["prev"])).otherwise(acc["dup"]))
+        out = {"top": F.when(better, mass).otherwise(acc["top"]),
+               "dup": F.when(acc["run"] >= 2,
+                             acc["dup"] + (acc["run"] - 1)
+                             * F.length(acc["prev"]))
+               .otherwise(acc["dup"])}
+        if with_gram:
+            out["topg"] = (F.when(better, acc["prev"])
+                           .otherwise(acc["topg"]))
+        return out
 
     def step(acc, g):
         same = acc["prev"] == g
-        top, topg, dup = _closed(acc)
-        return F.struct(
+        c = _closed(acc)
+        fields = [
             g.alias("prev"),
             F.when(same, acc["run"] + F.lit(1).cast("long"))
             .otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["top"]).otherwise(top).alias("top"),
-            F.when(same, acc["topg"]).otherwise(topg).alias("topg"),
-            F.when(same, acc["dup"]).otherwise(dup).alias("dup"))
+            F.when(same, acc["top"]).otherwise(c["top"]).alias("top"),
+            F.when(same, acc["dup"]).otherwise(c["dup"]).alias("dup")]
+        if with_gram:
+            fields.append(F.when(same, acc["topg"]).otherwise(c["topg"])
+                          .alias("topg"))
+        return F.struct(*fields)
 
     def finish(acc):
-        top, topg, dup = _closed(acc)
-        return F.struct(top.alias("top"), topg.alias("topg"),
-                        dup.alias("dup"))
+        c = _closed(acc)
+        fields = [c["top"].alias("top"), c["dup"].alias("dup")]
+        if with_gram:
+            fields.append(c["topg"].alias("topg"))
+        return F.struct(*fields)
 
     return F.aggregate(sorted_grams, init, step, finish)
 
@@ -152,7 +167,7 @@ def repetition_signals(df: DataFrame, top_ns: tuple = (2, 3),
     cols = [F.col(id_col)]
     for n in ns:
         grams = word_ngrams(F.col(text_col), n)
-        st = _run_stats(F.array_sort(grams))
+        st = _run_stats(F.array_sort(grams), with_gram=False)
         present = F.size(grams) > 0
         if n in top_ns:
             cols.append(F.when(present, frac(st["top"]))
@@ -172,7 +187,8 @@ def repetition_pass_expr(text: Column, max_top2: float = 0.20,
 
     def sig(n, field):
         grams = word_ngrams(text, n)
-        val = _run_stats(F.array_sort(grams))[field].cast("double") \
+        val = _run_stats(F.array_sort(grams),
+                         with_gram=False)[field].cast("double") \
             / F.length(text)
         return F.coalesce(
             F.when(F.size(grams) > 0,
