@@ -333,6 +333,52 @@ def _sitemap_corpus_sql() -> str:
 
 _MIX_RATES = {"en": 0.5, "hi": 0.2, "zh": 0.05}
 
+# synthetic blocklist — the OPERATOR is list-parameterized; these are
+# placeholder tokens planted into the driver corpus, not a real list
+_BLOCKTERMS = ["badword", "casino bonus", "xxspam"]
+
+
+def _blockspike_text() -> F.Column:
+    return (F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.col("text"), F.lit(" BadWord here")))
+            .when(F.col("doc_id") % 6 == 1,
+                  F.concat(F.col("text"),
+                           F.lit(" win casino bonus now xxspam")))
+            .when(F.col("doc_id") % 6 == 2,
+                  F.concat(F.col("text"), F.lit(" notbadword suffix")))
+            .otherwise(F.col("text")))
+
+
+_BLOCKSPIKE_SQL = (
+    "CASE WHEN doc_id % 6 = 0 THEN text || ' BadWord here' "
+    "WHEN doc_id % 6 = 1 THEN text || ' win casino bonus now xxspam' "
+    "WHEN doc_id % 6 = 2 THEN text || ' notbadword suffix' "
+    "ELSE text END")
+
+
+def _trap_url() -> F.Column:
+    sid = F.col("doc_id").cast("string")
+    return (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("https://t.com/a/b/a/b/"), sid))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("https://t.com/2024/01/"),
+                           (F.col("doc_id") % 28).cast("string"),
+                           F.lit("/e?page="), sid, F.lit("&sid="), sid))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("https://t.com/p"), sid))
+            .otherwise(F.lit("https://t.com/x/y/z?a=1&b=2&c=3")))
+
+
+_TRAP_URL_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'https://t.com/a/b/a/b/' || "
+    "CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 4 = 1 THEN 'https://t.com/2024/01/' || "
+    "CAST(doc_id % 28 AS VARCHAR) || '/e?page=' || "
+    "CAST(doc_id AS VARCHAR) || '&sid=' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 4 = 2 THEN 'https://t.com/p' || "
+    "CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://t.com/x/y/z?a=1&b=2&c=3' END")
+
 
 def _script_text() -> F.Column:
     """Deterministic per-script spikes so every SCRIPT_RANGES family has
@@ -1337,6 +1383,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stats.join(top, "domain")
     q["domain_report"] = domain_report
 
+    # ---- blocklist gate (C4-style, parameterized term list) ----
+    def blocklist_gate(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import (
+            blocklist_hits,
+            blocklist_pass,
+        )
+        d = _t(spark, sf_dir, "documents")
+        t = _blockspike_text()
+        return d.select(
+            "doc_id",
+            blocklist_hits(t, _BLOCKTERMS).alias("hits"),
+            blocklist_pass(t, _BLOCKTERMS).alias("keep"))
+    q["blocklist_gate"] = blocklist_gate
+
+    # ---- URL spam/trap signals over the crawl frontier ----
+    def url_spam(spark, sf_dir):
+        from ocr_devnagari_spark.functions.url import url_spam_signals
+        d = _t(spark, sf_dir, "documents")
+        sig = url_spam_signals(_trap_url())
+        return d.select("doc_id",
+                        *[sig[k].alias(k) for k in sorted(sig)])
+    q["url_spam"] = url_spam
+
+    # ---- host-graph connected components (site clusters) ----
+    def host_components(spark, sf_dir):
+        from ocr_devnagari_spark.operators.dedup import (
+            connected_components,
+        )
+        pairs = (_edges_df(spark, sf_dir)
+                 .filter(F.col("src_host") != F.col("dst_host"))
+                 .select(F.col("src_host").alias("id_a"),
+                         F.col("dst_host").alias("id_b")))
+        return connected_components(pairs)
+    q["host_components"] = host_components
+
     return q
 
 
@@ -2057,6 +2138,44 @@ def _crawl_diff_sql() -> str:
         "FROM o FULL OUTER JOIN n USING (url)) GROUP BY change")
 
 
+def _url_spam_sql() -> str:
+    from ocr_devnagari_spark.functions.url import (
+        PATH_RE as _P,
+        QUERY_RE as _Q,
+    )
+    from ocr_devnagari_spark.functions.url import SESSION_ID_RE
+    path = f"regexp_extract(u, '{_sq(_P)}', 1)"
+    query = f"regexp_extract(u, '{_sq(_Q)}', 1)"
+    segs = "[x for x in string_split(p, '/') if x <> '']"
+    return (
+        f"WITH b AS (SELECT doc_id, {path} AS p, {query} AS q, u "
+        f"FROM (SELECT doc_id, {_TRAP_URL_SQL} AS u FROM documents)), "
+        f"s AS (SELECT doc_id, p, q, u, {segs} AS segs FROM b) "
+        "SELECT doc_id, len(segs) AS depth, "
+        "round(CASE WHEN length(p) > 0 THEN "
+        "length(regexp_replace(p, '[^0-9]', '', 'g')) * 1.0 / length(p) "
+        "ELSE 0.0 END, 6) AS digit_ratio, "
+        f"regexp_matches(u, '{_sq(SESSION_ID_RE)}') AS has_session_id, "
+        "CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END "
+        "AS n_params, "
+        "len([i for i in generate_series(1, greatest(len(segs) - 1, 0)) "
+        "if segs[i] = segs[i + 1]]) > 0 AS repeated_segment FROM s")
+
+
+def _host_components_sql() -> str:
+    return (
+        "WITH RECURSIVE " + _host_edges_sql().strip().rstrip() + ", "
+        "pairs AS (SELECT src_host AS a, dst_host AS b FROM _edges_agg "
+        "WHERE src_host <> dst_host), "
+        "edges AS MATERIALIZED (SELECT a, b FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+        "reach(id, r) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.a, reach.r FROM edges e "
+        "JOIN reach ON reach.id = e.b) "
+        "SELECT id, min(r) AS component FROM reach GROUP BY id")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
 
@@ -2087,6 +2206,9 @@ def oracle_sql() -> dict[str, str]:
     _bucket32 = hash_bucket_sql("doc_id", 32)
     _strat_sql = stratified_predicate_sql("doc_id", "lang", _MIX_RATES,
                                           default_rate=0.1)
+
+    from ocr_devnagari_spark.functions.text import blocklist_pattern
+    _blockpat = blocklist_pattern(_BLOCKTERMS)
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2350,6 +2472,14 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE {_strat_sql} GROUP BY lang"),
         "script_matrix": _script_matrix_sql(),
         "crawl_diff_report": _crawl_diff_sql(),
+        "blocklist_gate": (
+            f"SELECT doc_id, len(regexp_extract_all(t, "
+            f"'{_sq(_blockpat)}')) AS hits, "
+            f"len(regexp_extract_all(t, '{_sq(_blockpat)}')) = 0 "
+            f"AS keep FROM (SELECT doc_id, {_BLOCKSPIKE_SQL} AS t "
+            "FROM documents)"),
+        "url_spam": _url_spam_sql(),
+        "host_components": _host_components_sql(),
         "token_histogram": (
             "SELECT least(CAST(floor(toks / 20.0) AS BIGINT), 9) "
             "AS bucket, count(*) AS n_docs, "

@@ -319,6 +319,38 @@ def gopher_pass(col: Column, min_words: int = 40,
 
 
 # ---------------------------------------------------------------------------
+# Blocklist gate (C4-style term filter, list-parameterized)
+# ---------------------------------------------------------------------------
+
+_REGEX_SPECIALS = r"\.^$+?()[]{}|*"
+
+
+def blocklist_pattern(terms: list[str]) -> str:
+    """One case-insensitive word-boundary alternation for ``terms`` —
+    valid in both Java regex and RE2 (specials escaped, no lookarounds).
+    The term list is a PARAMETER: C4 filters on a public blocklist; any
+    deployment supplies its own."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    esc = ["".join("\\" + ch if ch in _REGEX_SPECIALS else ch
+                   for ch in t) for t in terms]
+    return r"(?i)\b(?:" + "|".join(esc) + r")\b"
+
+
+def blocklist_hits(col: Column, terms: list[str]) -> Column:
+    """Occurrences of any blocklist term (case-insensitive, whole-word;
+    multi-word phrases allowed)."""
+    return F.regexp_count(col, F.lit(blocklist_pattern(terms)))
+
+
+def blocklist_pass(col: Column, terms: list[str],
+                   max_hits: int = 0) -> Column:
+    """True = keep (≤ ``max_hits`` blocklist occurrences — C4 drops on
+    any hit, Gopher-style recipes tolerate a threshold)."""
+    return blocklist_hits(col, terms) <= max_hits
+
+
+# ---------------------------------------------------------------------------
 # Script composition (writing-system character ratios)
 # ---------------------------------------------------------------------------
 

@@ -131,6 +131,42 @@ def resolve_dot_segments(path: Column) -> Column:
     return F.when(path.rlike(r"/\.\.?(/|$)"), c).otherwise(path)
 
 
+SESSION_ID_RE = r"(?i)[?&;](sid|sessionid|phpsessid|jsessionid)="
+
+
+def url_spam_signals(col: Column) -> dict:
+    """Crawl-frontier URL quality signals (public recipe: UbiCrawler /
+    IRLbot-style spider-trap heuristics) — all pure Catalyst:
+
+    - ``depth``: path segment count (calendar/faceted traps go deep),
+    - ``n_params``: query parameter count,
+    - ``digit_ratio``: digits / path length (IDs, dates, sessions),
+    - ``has_session_id``: well-known session parameter present,
+    - ``repeated_segment``: some path segment occurs twice in a row
+      (the classic ``/a/b/a/b`` loop trap).
+    """
+    path = F.regexp_extract(col, PATH_RE, 1)
+    query = F.regexp_extract(col, QUERY_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    plen = F.length(path)
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    rep = F.exists(
+        F.zip_with(segs, F.slice(F.concat(segs, F.array(F.lit(""))),
+                                 2, 1_000_000),
+                   lambda a, b: a == b),
+        lambda x: x)
+    return {
+        "depth": F.size(segs),
+        "n_params": F.when(query == "", F.lit(0)).otherwise(
+            F.size(F.split(query, "&"))),
+        "digit_ratio": F.round(
+            F.when(plen > 0, digits.cast("double") / plen)
+            .otherwise(F.lit(0.0)), 6),
+        "has_session_id": col.rlike(SESSION_ID_RE),
+        "repeated_segment": rep,
+    }
+
+
 def _canonical_query(col: Column) -> Column:
     q = F.regexp_extract(col, QUERY_RE, 1)
     parts = F.filter(

@@ -324,3 +324,58 @@ def test_warc_iteration_on_nonseekable_stream():
         data = open(f.name, "rb").read()
     recs = list(iter_warc_records(io.BufferedReader(NoSeek(data))))
     assert len(recs) == 1 and recs[0][0]["warc-target-uri"] == "http://x/a"
+
+
+# ---------------------------------------------------------------------------
+# blocklist / url spam signals
+# ---------------------------------------------------------------------------
+
+def test_blocklist_word_boundaries_and_phrases(spark):
+    from ocr_devnagari_spark.functions.text import (
+        blocklist_hits,
+        blocklist_pass,
+        blocklist_pattern,
+    )
+    terms = ["bad", "free money"]
+    rows = [(0, "a bad day", 1), (1, "badge of honor", 0),
+            (2, "FREE   money", 0),          # collapsed ws not matched
+            (3, "free money now free money", 2),
+            (4, "clean", 0)]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "id long, t string")
+    got = {r["id"]: (r["h"], r["k"]) for r in df.select(
+        "id", blocklist_hits(F.col("t"), terms).alias("h"),
+        blocklist_pass(F.col("t"), terms).alias("k")).collect()}
+    for i, _, h in rows:
+        assert got[i] == (h, h == 0), i
+    # specials in terms are escaped, not regex-active
+    pat = blocklist_pattern(["a.b+c"])
+    df2 = spark.createDataFrame([(0, "a.b+c but not aXbbc")],
+                                "id long, t string")
+    assert df2.select(F.regexp_count(F.col("t"), F.lit(pat))
+                      .alias("n")).collect()[0]["n"] == 1
+    with pytest.raises(ValueError):
+        blocklist_pattern([])
+
+
+def test_url_spam_signals_fixed(spark):
+    from ocr_devnagari_spark.functions.url import url_spam_signals
+    rows = [
+        (0, "https://t.com/a/b/a/b/x", 5, False, False),
+        (1, "https://t.com/a/b/b/c", 4, False, True),
+        (2, "https://t.com/p?page=1&sid=9", 1, True, False),
+        (3, "https://t.com/clean", 1, False, False),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, *_ in rows],
+                               "id long, u string")
+    sig = url_spam_signals(F.col("u"))
+    got = {r["id"]: r for r in df.select(
+        "id", sig["depth"].alias("d"),
+        sig["has_session_id"].alias("s"),
+        sig["repeated_segment"].alias("r"),
+        sig["n_params"].alias("p")).collect()}
+    for i, _, d, s, rep in rows:
+        assert (got[i]["d"], got[i]["s"], got[i]["r"]) == (d, s, rep), i
+    assert got[2]["p"] == 2 and got[3]["p"] == 0
+    # doc 0 has /a/b/a/b — repeated PAIR, not adjacent repeat → False;
+    # doc 1 has /b/b adjacent → True (the signal is the adjacency trap)
