@@ -1418,6 +1418,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(pairs)
     q["host_components"] = host_components
 
+    # ---- compression-ratio quality signal (rows-only: DEFLATE is not
+    #      SQL-expressible; pytest carries the zlib brute-force oracle)
+    def compression_signal(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.functions.compress import (
+            compression_pass,
+            compression_ratio,
+        )
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id",
+                        compression_ratio(F.col("text")).alias("ratio"),
+                        compression_pass(F.col("text")).alias("keep"))
+    q["compression_signal"] = compression_signal
+
     return q
 
 

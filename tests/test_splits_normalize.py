@@ -237,3 +237,31 @@ def test_paragraph_first_mode_has_no_window(spark):
     plan = (paragraph_dedup(df, keep="first")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from ocr_devnagari_spark.functions.compress import (
+        LEVEL,
+        compression_pass,
+        compression_ratio,
+    )
+    texts = ["abc " * 200, "the quick brown fox jumps over the lazy dog",
+             "", None, "x"]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    got = {r["id"]: (r["r"], r["k"]) for r in df.select(
+        "id", compression_ratio(F.col("t")).alias("r"),
+        compression_pass(F.col("t")).alias("k")).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, None)
+        elif t == "":
+            assert got[i][0] == 1.0
+        else:
+            raw = t.encode()
+            exp = round(len(zlib.compress(raw, LEVEL)) / len(raw), 6)
+            assert got[i][0] == pytest.approx(exp, abs=1e-6), i
+            assert got[i][1] == (exp >= 0.25), i
+    # repetitive text compresses much better than prose
+    assert got[0][0] < 0.1 < got[1][0]
