@@ -2172,8 +2172,10 @@ def _url_spam_sql() -> str:
         f"regexp_matches(u, '{_sq(SESSION_ID_RE)}') AS has_session_id, "
         "CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END "
         "AS n_params, "
-        "len([i for i in generate_series(1, greatest(len(segs) - 1, 0)) "
-        "if segs[i] = segs[i + 1]]) > 0 AS repeated_segment FROM s")
+        "(len([i for i in generate_series(1, greatest(len(segs) - 1, 0)) "
+        "if segs[i] = segs[i + 1]]) "
+        "+ len([i for i in generate_series(1, greatest(len(segs) - 2, 0))"
+        " if segs[i] = segs[i + 2]])) > 0 AS repeated_segment FROM s")
 
 
 def _host_components_sql() -> str:
@@ -2487,9 +2489,9 @@ def oracle_sql() -> dict[str, str]:
         "script_matrix": _script_matrix_sql(),
         "crawl_diff_report": _crawl_diff_sql(),
         "blocklist_gate": (
-            f"SELECT doc_id, len(regexp_extract_all(t, "
+            f"SELECT doc_id, len(regexp_extract_all(lower(t), "
             f"'{_sq(_blockpat)}')) AS hits, "
-            f"len(regexp_extract_all(t, '{_sq(_blockpat)}')) = 0 "
+            f"len(regexp_extract_all(lower(t), '{_sq(_blockpat)}')) = 0 "
             f"AS keep FROM (SELECT doc_id, {_BLOCKSPIKE_SQL} AS t "
             "FROM documents)"),
         "url_spam": _url_spam_sql(),

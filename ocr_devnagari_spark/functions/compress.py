@@ -41,8 +41,11 @@ def _ratio(s):
 
 
 def compression_ratio(col: Column) -> Column:
-    """compressed/raw byte ratio in (0, ~1.05]; lower = more
-    repetitive.  Empty → 1.0, NULL propagates.  Rounded to 6 d.p."""
+    """compressed/raw byte ratio; lower = more repetitive.  For
+    documents beyond ~100 bytes the ratio lands in (0, ~1.05]; SHORT
+    texts exceed 1 freely (zlib's fixed header/checksum overhead —
+    ``'x'`` → 9/1 = 9.0), so pair any upper-bound gate with a length
+    floor.  Empty → 1.0, NULL propagates.  Rounded to 6 d.p."""
     global _UDF
     if _UDF is None:
         _UDF = pandas_udf(_ratio, DoubleType())

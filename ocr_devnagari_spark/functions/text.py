@@ -326,21 +326,47 @@ _REGEX_SPECIALS = r"\.^$+?()[]{}|*"
 
 
 def blocklist_pattern(terms: list[str]) -> str:
-    """One case-insensitive word-boundary alternation for ``terms`` —
-    valid in both Java regex and RE2 (specials escaped, no lookarounds).
-    The term list is a PARAMETER: C4 filters on a public blocklist; any
-    deployment supplies its own."""
+    """Word-bounded alternation for ``terms``, to be matched against
+    LOWERCASED text — valid in both Java regex and RE2 (specials
+    escaped, no lookarounds).  The term list is a PARAMETER: C4 filters
+    on a public blocklist; any deployment supplies its own.
+
+    Two matching rules, both load-bearing:
+
+    - case folding happens OUTSIDE the regex (terms are lowercased
+      here; callers lower() the text column) because ``(?i)`` folds
+      ASCII-only in Java but Unicode in RE2 — accented terms would
+      silently diverge between the engine and the oracle;
+    - ``\\b`` is emitted PER EDGE only where the term actually starts/
+      ends with a word character — a ``\\b`` next to a punctuation
+      edge (e.g. the list entry ``a$$``) can never match and would
+      silently disable that term.  Punctuation-edged terms therefore
+      match without a boundary on that side (substring semantics
+      there, the C4 token-split approximation).
+    """
     if not terms:
         raise ValueError("terms must be non-empty")
-    esc = ["".join("\\" + ch if ch in _REGEX_SPECIALS else ch
-                   for ch in t) for t in terms]
-    return r"(?i)\b(?:" + "|".join(esc) + r")\b"
+    parts = []
+    for t in terms:
+        t = t.lower()
+        esc = "".join("\\" + ch if ch in _REGEX_SPECIALS else ch
+                      for ch in t)
+        # \b is ASCII-\w-based in BOTH engines, so the edge test must be
+        # ASCII too: a \b next to a non-ASCII letter (e.g. 'ü') can
+        # never match and would silently disable the term
+        _w = ("abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+        lo = r"\b" if t[:1] and t[0] in _w else ""
+        hi = r"\b" if t[-1:] and t[-1] in _w else ""
+        parts.append(f"{lo}(?:{esc}){hi}")
+    return "(?:" + "|".join(parts) + ")"
 
 
 def blocklist_hits(col: Column, terms: list[str]) -> Column:
-    """Occurrences of any blocklist term (case-insensitive, whole-word;
-    multi-word phrases allowed)."""
-    return F.regexp_count(col, F.lit(blocklist_pattern(terms)))
+    """Occurrences of any blocklist term (case-insensitive via
+    ``lower()`` — Unicode-correct in both engines; whole-word where the
+    term is word-edged; multi-word phrases allowed)."""
+    return F.regexp_count(F.lower(col), F.lit(blocklist_pattern(terms)))
 
 
 def blocklist_pass(col: Column, terms: list[str],

@@ -142,19 +142,30 @@ def url_spam_signals(col: Column) -> dict:
     - ``n_params``: query parameter count,
     - ``digit_ratio``: digits / path length (IDs, dates, sessions),
     - ``has_session_id``: well-known session parameter present,
-    - ``repeated_segment``: some path segment occurs twice in a row
-      (the classic ``/a/b/a/b`` loop trap).
+    - ``repeated_segment``: the path repeats with period 1 (``/b/b``
+      stutter) or period 2 (the classic ``/a/b/a/b`` crawler loop) —
+      segment ``i`` equals segment ``i+1`` or ``i+2``.
     """
     path = F.regexp_extract(col, PATH_RE, 1)
     query = F.regexp_extract(col, QUERY_RE, 1)
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     plen = F.length(path)
     digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
-    rep = F.exists(
-        F.zip_with(segs, F.slice(F.concat(segs, F.array(F.lit(""))),
-                                 2, 1_000_000),
-                   lambda a, b: a == b),
-        lambda x: x)
+    pad = F.array(F.lit(""), F.lit(""))
+
+    def _shift_match(k):
+        # slice EXACTLY size(segs) so zip_with never pads with NULL
+        # (a NULL comparison would turn exists() three-valued)
+        shifted = F.slice(F.concat(segs, pad), 1 + k, F.size(segs))
+        return F.exists(
+            F.zip_with(segs, shifted,
+                       lambda a, b: (a == b) & (a != "")),
+            lambda x: x)
+
+    # guard the degenerate paths (0/1 segments) where slice/zip_with
+    # edge semantics would otherwise surface NULL
+    rep = F.when(F.size(segs) >= 2,
+                 _shift_match(1) | _shift_match(2)).otherwise(F.lit(False))
     return {
         "depth": F.size(segs),
         "n_params": F.when(query == "", F.lit(0)).otherwise(

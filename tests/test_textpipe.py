@@ -356,15 +356,25 @@ def test_blocklist_word_boundaries_and_phrases(spark):
                       .alias("n")).collect()[0]["n"] == 1
     with pytest.raises(ValueError):
         blocklist_pattern([])
+    # punctuation-edged terms must still match (no dead \\b next to
+    # a non-word edge) and unicode terms fold case via lower()
+    df3 = spark.createDataFrame(
+        [(0, "total a$$ spam"), (1, "viel MÜLL hier"), (2, "classy")],
+        "id long, t string")
+    got3 = {r["id"]: r["n"] for r in df3.select(
+        "id", blocklist_hits(F.col("t"), ["a$$", "müll", "class"])
+        .alias("n")).collect()}
+    assert got3 == {0: 1, 1: 1, 2: 0}
 
 
 def test_url_spam_signals_fixed(spark):
     from ocr_devnagari_spark.functions.url import url_spam_signals
     rows = [
-        (0, "https://t.com/a/b/a/b/x", 5, False, False),
-        (1, "https://t.com/a/b/b/c", 4, False, True),
+        (0, "https://t.com/a/b/a/b/x", 5, False, True),   # period-2 loop
+        (1, "https://t.com/a/b/b/c", 4, False, True),     # stutter
         (2, "https://t.com/p?page=1&sid=9", 1, True, False),
         (3, "https://t.com/clean", 1, False, False),
+        (4, "https://t.com/x/y/z/x", 4, False, False),    # period 3: pass
     ]
     df = spark.createDataFrame([(i, u) for i, u, *_ in rows],
                                "id long, u string")
@@ -377,5 +387,3 @@ def test_url_spam_signals_fixed(spark):
     for i, _, d, s, rep in rows:
         assert (got[i]["d"], got[i]["s"], got[i]["r"]) == (d, s, rep), i
     assert got[2]["p"] == 2 and got[3]["p"] == 0
-    # doc 0 has /a/b/a/b — repeated PAIR, not adjacent repeat → False;
-    # doc 1 has /b/b adjacent → True (the signal is the adjacency trap)
