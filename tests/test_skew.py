@@ -67,3 +67,25 @@ def test_range_predicate_rows(spark):
            df.filter(range_predicate(F.col("k"), "3,10-12,90-99")).collect()}
     assert got == {3, 10, 11, 12, *range(90, 100)}
     assert df.filter(range_predicate(F.col("k"), "all")).count() == 100
+
+
+def test_paragraph_dedup_hot_boilerplate_completes(spark):
+    """10k documents sharing one boilerplate paragraph: both modes must
+    reduce the hot key via aggregation (no para-partitioned window),
+    complete quickly, and drop the boilerplate everywhere."""
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.operators.paragraphs import paragraph_dedup
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique body "), F.col("id").cast("string"),
+                 F.lit("\ncookie banner boilerplate")).alias("text"))
+    out = paragraph_dedup(df, max_docs=1)
+    agg = out.agg(F.sum("n_removed").alias("r"),
+                  F.count(F.lit(1)).alias("n")).collect()[0]
+    assert agg["n"] == 10_000 and agg["r"] == 10_000
+    first = paragraph_dedup(df, keep="first")
+    plan = first._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    kept = first.filter(F.col("text").contains("cookie banner")).count()
+    assert kept == 1          # exactly the global first occurrence
