@@ -1432,6 +1432,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         compression_pass(F.col("text")).alias("keep"))
     q["compression_signal"] = compression_signal
 
+    # ---- WARC source + CDX index end-to-end (rows-only: the synthetic
+    #      archive is deterministic; pytest owns the byte-level oracle)
+    def _warc_fixture(spark, sf_dir):
+        import tempfile
+
+        from ocr_devnagari_spark.sources.warc import write_warc
+        d = _t(spark, sf_dir, "documents")
+        rows = (d.filter(F.col("doc_id") < 20)
+                .select("doc_id", "text").orderBy("doc_id").collect())
+        recs = [(f"http://w.example/{r['doc_id']}",
+                 "2024-03-01T00:00:00Z",
+                 ("<html><body><p>" + r["text"] + "</p></body></html>"
+                  ).encode(), "response") for r in rows]
+        path = os.path.join(tempfile.gettempdir(),
+                            f"ocrds_gate_{os.getpid()}.warc.gz")
+        write_warc(path, recs)
+        return path
+
+    def warc_roundtrip(spark, sf_dir):
+        from ocr_devnagari_spark.sources.warc import read_warc_pages
+        path = _warc_fixture(spark, sf_dir)
+        pages = read_warc_pages(spark, path)
+        return pages.select("url", F.length("html").alias("n_bytes"))
+    q["warc_roundtrip"] = warc_roundtrip
+
+    def warc_cdx(spark, sf_dir):
+        from ocr_devnagari_spark.sources.warc import warc_cdx_index
+        path = _warc_fixture(spark, sf_dir)
+        return warc_cdx_index(spark, path).select(
+            "url", "offset", "length", "mime", "status")
+    q["warc_cdx"] = warc_cdx
+
     return q
 
 
