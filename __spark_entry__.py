@@ -332,6 +332,7 @@ def _sitemap_corpus_sql() -> str:
 
 
 _MIX_RATES = {"en": 0.5, "hi": 0.2, "zh": 0.05}
+_MIX_TIERS = [(0.015, 1.0), (0.0105, 0.5), (-1.0, 0.1)]
 
 # synthetic blocklist — the OPERATOR is list-parameterized; these are
 # placeholder tokens planted into the driver corpus, not a real list
@@ -1464,6 +1465,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "offset", "length", "mime", "status")
     q["warc_cdx"] = warc_cdx
 
+    # ---- authority-weighted corpus mix (pagerank × hash sampling) ----
+    def authority_mix(spark, sf_dir):
+        from ocr_devnagari_spark.plans.curation import (
+            authority_weighted_mix,
+        )
+        host = (F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.lit("h"),
+                                (F.col("doc_id") % 9).cast("string"),
+                                F.lit(".example.com")))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.concat(F.lit("s"),
+                               (F.col("doc_id") % 5).cast("string"),
+                               F.lit(".example.com")))
+                .otherwise(F.lit("nowhere.net")))
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", host.alias("host"))
+        return authority_weighted_mix(d, _edges_df(spark, sf_dir),
+                                      tiers=_MIX_TIERS)
+    q["authority_mix"] = authority_mix
+
     return q
 
 
@@ -1838,7 +1859,8 @@ _edges_agg AS (SELECT src_host, dst_host,
 """
 
 
-def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85,
+                  final: bool = True) -> str:
     """Unrolled power-iteration chain (DuckDB restricts aggregates over
     a recursive reference, so each iteration is its own CTE) — same
     formula, same per-iteration 6dp rounding as functions.links.
@@ -1862,8 +1884,8 @@ r{i} AS (
              FROM _e e JOIN _outd o ON o.src = e.src
              JOIN r{i - 1} r ON r.host = e.src
              GROUP BY e.dst) s ON s.host = n.host)""")
-    return (",".join(parts)
-            + f" SELECT host, pr FROM r{iterations}")
+    tail = f" SELECT host, pr FROM r{iterations}" if final else ""
+    return ",".join(parts) + tail
 
 
 def _politeness_sql() -> str:
@@ -2210,6 +2232,39 @@ def _url_spam_sql() -> str:
         " if segs[i] = segs[i + 2]])) > 0 AS repeated_segment FROM s")
 
 
+def _authority_mix_sql() -> str:
+    from ocr_devnagari_spark.functions.splits import (
+        WHEEL,
+        hash_bucket_sql,
+    )
+    tier = "CASE "
+    rate = "CASE "
+    for i, (thr, r) in enumerate(_MIX_TIERS[:-1]):
+        tier += f"WHEN pr >= {thr} THEN {i} "
+        rate += f"WHEN pr >= {thr} THEN {int(round(r * WHEEL))} "
+    tier += f"ELSE {len(_MIX_TIERS) - 1} END"
+    rate += f"ELSE {int(round(_MIX_TIERS[-1][1] * WHEEL))} END"
+    toks = "len(regexp_extract_all(text, '\\S+'))"
+    return (
+        f"WITH {_host_edges_sql()}, {_pagerank_sql(10, final=False)}, "
+        "ranks AS (SELECT host, pr FROM r10), "
+        "docs2 AS (SELECT doc_id, text, CASE "
+        "WHEN doc_id % 3 = 0 THEN 'h' || CAST(doc_id % 9 AS VARCHAR) "
+        "|| '.example.com' "
+        "WHEN doc_id % 3 = 1 THEN 's' || CAST(doc_id % 5 AS VARCHAR) "
+        "|| '.example.com' ELSE 'nowhere.net' END AS h "
+        "FROM documents), "
+        "j AS (SELECT doc_id, text, coalesce(r.pr, 0.0) AS pr "
+        "FROM docs2 LEFT JOIN ranks r ON r.host = docs2.h), "
+        f"t AS (SELECT doc_id, text, {tier} AS tier, {rate} AS rate "
+        "FROM j), "
+        f"k AS (SELECT tier, text FROM t WHERE "
+        f"{hash_bucket_sql('doc_id', WHEEL)} < rate) "
+        "SELECT tier, count(*) AS n_docs, "
+        f"CAST(sum({toks}) AS BIGINT) AS total_tokens "
+        "FROM k GROUP BY tier")
+
+
 def _host_components_sql() -> str:
     return (
         "WITH RECURSIVE " + _host_edges_sql().strip().rstrip() + ", "
@@ -2528,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)"),
         "url_spam": _url_spam_sql(),
         "host_components": _host_components_sql(),
+        "authority_mix": _authority_mix_sql(),
         "token_histogram": (
             "SELECT least(CAST(floor(toks / 20.0) AS BIGINT), 9) "
             "AS bucket, count(*) AS n_docs, "

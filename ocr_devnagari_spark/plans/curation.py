@@ -58,6 +58,49 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
         token_count(text).cast("long").alias("n_tokens"))
 
 
+def authority_weighted_mix(docs: DataFrame, edges: DataFrame,
+                           tiers: list[tuple[float, float]] | None = None,
+                           iterations: int = 10,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           host_col: str = "host") -> DataFrame:
+    """Corpus mix weighted by host authority — the Common-Crawl-derived
+    pipelines' recipe (CCNet/RefinedWeb keep more from high-PageRank
+    hosts): PageRank over the host link graph → rank tiers → per-tier
+    deterministic keep rates → per-tier doc/token totals.
+
+    ``tiers`` = [(min_pr, keep_rate), ...] checked in order, first
+    match wins; hosts below every threshold (or absent from the graph)
+    get the last tier's rate.  Returns ``(tier, n_docs, total_tokens)``
+    with tier = the matched index.
+
+    Scale shape: the rank table is (host, double) — broadcast onto the
+    corpus join; sampling is the splits hash wheel (pure codegen); the
+    only corpus-sized shuffle is the final tier aggregate.
+    """
+    from ..functions.links import pagerank
+    from ..functions.splits import WHEEL, hash_bucket
+
+    tiers = tiers or [(0.05, 1.0), (0.01, 0.5), (-1.0, 0.1)]
+    pr = pagerank(edges, iterations=iterations)
+    joined = docs.join(F.broadcast(pr.withColumnRenamed("host", "_h")),
+                       F.col(host_col) == F.col("_h"), "left")
+    prv = F.coalesce(F.col("pr"), F.lit(0.0))
+    tier = F.lit(len(tiers) - 1)
+    rate = F.lit(int(round(tiers[-1][1] * WHEEL)))
+    for i in range(len(tiers) - 2, -1, -1):
+        cond = prv >= tiers[i][0]
+        tier = F.when(cond, F.lit(i)).otherwise(tier)
+        rate = F.when(cond, F.lit(int(round(tiers[i][1] * WHEEL)))
+                      ).otherwise(rate)
+    kept = joined.filter(hash_bucket(F.col(id_col), WHEEL) < rate)
+    return (kept.select(tier.alias("tier"),
+                        token_count(F.col(text_col)).alias("toks"))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").cast("long").alias("total_tokens")))
+
+
 def curation_report(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", host_col: str = "host",
                     weights: dict[str, float] | None = None,

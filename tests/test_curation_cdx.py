@@ -194,3 +194,28 @@ def test_crawl_diff_latest_capture_wins(spark):
                                 "digest string")
     got = crawl_diff(old, new).collect()
     assert got[0]["change"] == "unchanged"
+
+
+def test_authority_weighted_mix_tiers(spark):
+    from ocr_devnagari_spark.plans.curation import authority_weighted_mix
+    edges = spark.createDataFrame(
+        [("a.com", "hub.com", 5), ("b.com", "hub.com", 2),
+         ("hub.com", "a.com", 1)],
+        "src_host string, dst_host string, n_links long")
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, ["hub.com", "b.com", "ghost.net"][i % 3])
+         for i in range(300)],
+        "doc_id long, text string, host string")
+    # hub.com receives two in-links -> top tier keeps 100%;
+    # b.com dangles at base rank -> mid tier 50%; ghost.net is not in
+    # the graph -> pr 0 -> bottom tier 10%
+    tiers = [(0.2, 1.0), (0.04, 0.5), (-1.0, 0.1)]
+    got = {r["tier"]: r["n_docs"] for r in
+           authority_weighted_mix(docs, edges, tiers=tiers).collect()}
+    assert got[0] == 100                 # every hub doc kept
+    assert 30 <= got.get(1, 0) <= 70     # ~half the b.com docs
+    assert 0 < got.get(2, 0) <= 25       # ~10% of ghost docs
+    # deterministic: same call, same counts
+    again = {r["tier"]: r["n_docs"] for r in
+             authority_weighted_mix(docs, edges, tiers=tiers).collect()}
+    assert got == again
