@@ -98,9 +98,13 @@ def _star_groups(lines: DataFrame) -> DataFrame:
                     F.lag(is_ua).over(w), F.lit(False))).cast("int"))
                 .withColumn("grp", F.sum("_new").over(w))
                 .withColumn("_ua", F.when(is_ua, ua_val)))
-    stars = (with_grp.groupBy("host", "grp")
-             .agg(F.max(F.col("_ua") == "*").alias("star")))
-    return (with_grp.join(stars, ["host", "grp"])
+    # star membership via a (host, grp)-partitioned window max — no
+    # aggregate+join-back (that join sort-merged on a table that is
+    # per-host unbounded in HOST count, so neither side broadcasts at
+    # crawl scale); group sizes are robots-file lines, always small
+    wg = Window.partitionBy("host", "grp")
+    return (with_grp
+            .withColumn("star", F.max(F.col("_ua") == "*").over(wg))
             .select("host", "pos", "line", "grp", "star"))
 
 
