@@ -219,3 +219,31 @@ def test_authority_weighted_mix_tiers(spark):
     again = {r["tier"]: r["n_docs"] for r in
              authority_weighted_mix(docs, edges, tiers=tiers).collect()}
     assert got == again
+
+
+def test_extract_then_curate_end_to_end(spark, tmp_path):
+    """The full corpus-build story: crawl pages → resumable extraction
+    into the icebox table → curation (gates → dedup → split) over the
+    EXTRACTED text — proving the storage layer and the curation plan
+    compose."""
+    from ocr_devnagari_spark.config import ExtractConfig
+    from ocr_devnagari_spark.corpus import write_corpus
+    from ocr_devnagari_spark.functions.url import url_host
+    from ocr_devnagari_spark.plans.curation import curation_report
+    from ocr_devnagari_spark.plans.pipeline import run_extract_job
+    from ocr_devnagari_spark.sources.icebox import IceboxTable
+
+    src = str(tmp_path / "corpus")
+    write_corpus(src, 200)
+    cfg = ExtractConfig(root_dir=str(tmp_path / "ocrds"))
+    run_extract_job(spark, src, cfg, job_token="cur1")
+    extracted = IceboxTable(cfg.root_dir + "/extracted").read(spark)
+    # keyed deterministically by url hash (partition-independent)
+    docs = (extracted.filter("success")
+            .select(F.xxhash64("url").alias("doc_id"), "text",
+                    url_host(F.col("url")).alias("host")))
+    rep = curation_report(docs, min_words=10).collect()
+    total = sum(r["n_docs"] for r in rep)
+    assert 0 < total <= docs.count()
+    assert all(r["split"] in ("train", "val", "test") for r in rep)
+    assert sum(r["total_tokens"] for r in rep) > 0
