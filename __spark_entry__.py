@@ -1485,6 +1485,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       tiers=_MIX_TIERS)
     q["authority_mix"] = authority_mix
 
+    # ---- as-of join (kdb/merge_asof semantics; DuckDB ASOF oracle) --
+    def asof_events(spark, sf_dir):
+        from ocr_devnagari_spark.operators.joins import asof_join
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id",
+            # double-cast via timestamp (NTZ has no direct double cast;
+            # unix_timestamp would truncate the sub-second part the
+            # oracle's epoch() keeps — the events_sessionize pattern)
+            F.col("ts").cast("timestamp").cast("double").alias("t"),
+            "value")
+        ticks = (e.filter(F.col("event_id") % 7 == 0)
+                 .select("user_id", "t",
+                         F.round(F.col("value"), 4).alias("tick")))
+        out = asof_join(e.select("event_id", "user_id", "t"),
+                        ticks, on="t", by="user_id")
+        return out.select("event_id", "user_id", "t", "t_r",
+                          F.round("tick_r", 4).alias("tick_r"))
+    q["asof_events"] = asof_events
+
+    # ---- range join (bucketed interval containment) ----
+    def range_join_stats(spark, sf_dir):
+        from ocr_devnagari_spark.operators.joins import range_join
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", F.col("value").alias("v"))
+        iv = spark.range(14).select(
+            F.col("id").alias("iid"),
+            (F.col("id") * 25.0).alias("lo"),
+            (F.col("id") * 25.0 + 40.0).alias("hi"))
+        return (range_join(e, iv, bucket_width=50.0)
+                .groupBy("iid")
+                .agg(F.count(F.lit(1)).alias("n_points"),
+                     F.round(F.sum("v"), 4).alias("sum_v")))
+    q["range_join_stats"] = range_join_stats
+
     return q
 
 
@@ -2584,6 +2618,23 @@ def oracle_sql() -> dict[str, str]:
         "url_spam": _url_spam_sql(),
         "host_components": _host_components_sql(),
         "authority_mix": _authority_mix_sql(),
+        "asof_events": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "epoch(ts)::DOUBLE AS t, value FROM events), "
+            "ticks AS (SELECT user_id, t, round(value, 4) AS tick "
+            "FROM e WHERE event_id % 7 = 0) "
+            "SELECT e.event_id, e.user_id, e.t, "
+            "k.t AS t_r, round(k.tick, 4) AS tick_r "
+            "FROM e ASOF LEFT JOIN ticks k "
+            "ON e.user_id = k.user_id AND e.t >= k.t"),
+        "range_join_stats": (
+            "WITH iv AS (SELECT i AS iid, i * 25.0 AS lo, "
+            "i * 25.0 + 40.0 AS hi FROM (SELECT unnest("
+            "generate_series(0, 13)) AS i)) "
+            "SELECT iid, count(*) AS n_points, "
+            "round(sum(value), 4) AS sum_v "
+            "FROM events JOIN iv ON value BETWEEN lo AND hi "
+            "GROUP BY iid"),
         "token_histogram": (
             "SELECT least(CAST(floor(toks / 20.0) AS BIGINT), 9) "
             "AS bucket, count(*) AS n_docs, "

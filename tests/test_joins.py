@@ -1,0 +1,83 @@
+"""As-of and range join operators vs brute-force Python oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_devnagari_spark.operators.joins import asof_join, range_join
+
+
+def _py_asof(lrows, rrows, tol=None):
+    out = {}
+    for k, ts, x in lrows:
+        cands = [(rts, p) for rk, rts, p in rrows
+                 if rk == k and rts <= ts]
+        if cands:
+            rts, p = max(cands)
+            if tol is not None and ts - rts > tol:
+                rts = p = None
+        else:
+            rts = p = None
+        out[(k, ts)] = (rts, p)
+    return out
+
+
+@pytest.mark.parametrize("tol", [None, 7])
+def test_asof_join_matches_bruteforce(spark, tol):
+    lrows = [(k, t, k * 1000 + t) for k in range(5)
+             for t in range(0, 100, 9)]
+    rrows = [(k, t, k * 10 + t) for k in range(4)     # key 4: no quotes
+             for t in range(0, 100, 13)]
+    ldf = spark.createDataFrame(lrows, "k long, ts long, x long")
+    rdf = spark.createDataFrame(rrows, "k long, ts long, p long")
+    got = {(r["k"], r["ts"]): (r["ts_r"], r["p_r"])
+           for r in asof_join(ldf, rdf, on="ts", by="k",
+                              tolerance=tol).collect()}
+    exp = _py_asof(lrows, rrows, tol)
+    assert len(got) == len(lrows)
+    for key, (rts, p) in exp.items():
+        grts, gp = got[key]
+        assert (grts is None) == (rts is None), key
+        if rts is not None:
+            assert (int(grts), gp) == (rts, p), key
+
+
+def test_asof_tie_is_inclusive(spark):
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, x long")
+    rdf = spark.createDataFrame([(1, 10, 99)], "k long, ts long, p long")
+    r = asof_join(ldf, rdf, on="ts", by="k").collect()[0]
+    assert r["p_r"] == 99                 # quote AT the event matches
+
+
+def test_asof_preserves_left_rowcount_and_duplicates(spark):
+    ldf = spark.createDataFrame([(1, 10, 0), (1, 10, 1)],
+                                "k long, ts long, x long")
+    rdf = spark.createDataFrame([(1, 5, 7)], "k long, ts long, p long")
+    got = asof_join(ldf, rdf, on="ts", by="k").collect()
+    assert len(got) == 2 and all(r["p_r"] == 7 for r in got)
+
+
+@pytest.mark.parametrize("width", [3.0, 50.0, 1000.0])
+def test_range_join_matches_bruteforce(spark, width):
+    pts = [(i, float((i * 37) % 500)) for i in range(80)]
+    ivs = [(j, float(j * 40), float(j * 40 + 60)) for j in range(12)]
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pdf, idf, bucket_width=width).collect()}
+    exp = {(pid, iid) for pid, v in pts for iid, lo, hi in ivs
+           if lo <= v <= hi}
+    assert got == exp                     # exactly once per pair
+    with pytest.raises(ValueError):
+        range_join(pdf, idf, bucket_width=0)
+
+
+def test_range_join_is_equi_join_not_cartesian(spark):
+    pdf = spark.createDataFrame([(0, 1.0)], "pid long, v double")
+    idf = spark.createDataFrame([(0, 0.0, 2.0)],
+                                "iid long, lo double, hi double")
+    plan = (range_join(pdf, idf)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
