@@ -1519,6 +1519,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.round(F.sum("v"), 4).alias("sum_v")))
     q["range_join_stats"] = range_join_stats
 
+    # ---- multi-dim cube over events (grouping-sets surface) ----
+    def events_cube(spark, sf_dir):
+        e = _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"), "value")
+        return (e.cube("event_type", "day")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_v"))
+                .select(F.coalesce("event_type", F.lit("(all)"))
+                        .alias("event_type"),
+                        F.coalesce("day", F.lit("(all)")).alias("day"),
+                        "n", "sum_v"))
+    q["events_cube"] = events_cube
+
+    # ---- hypertable-style continuous aggregate: hour rollup computed
+    #      FROM minute partials (sum-of-sums / sum-of-counts); the
+    #      oracle computes hours from RAW rows, so the hash match IS
+    #      the re-aggregation-correctness statement ----
+    def events_rollup(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        minute = (e.groupBy(
+            F.date_trunc("minute", "ts").alias("m"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("s"),
+                 F.max("value").alias("mx")))
+        hour = (minute.groupBy(
+            F.date_trunc("hour", "m").alias("h"), "event_type")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.round(F.sum("s"), 4).alias("sum_v"),
+                 F.round(F.max("mx"), 4).alias("max_v")))
+        return hour.select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            "event_type", "n", "sum_v", "max_v")
+    q["events_rollup"] = events_rollup
+
     return q
 
 
@@ -2627,6 +2663,19 @@ def oracle_sql() -> dict[str, str]:
             "k.t AS t_r, round(k.tick, 4) AS tick_r "
             "FROM e ASOF LEFT JOIN ticks k "
             "ON e.user_id = k.user_id AND e.t >= k.t"),
+        "events_cube": (
+            "SELECT coalesce(event_type, '(all)') AS event_type, "
+            "coalesce(day, '(all)') AS day, count(*) AS n, "
+            "round(sum(value), 4) AS sum_v FROM ("
+            "SELECT event_type, strftime(date_trunc('day', ts), "
+            "'%Y-%m-%d') AS day, value FROM events) "
+            "GROUP BY CUBE (event_type, day)"),
+        "events_rollup": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') "
+            "AS hour, event_type, count(*) AS n, "
+            "round(sum(value), 4) AS sum_v, "
+            "round(max(value), 4) AS max_v "
+            "FROM events GROUP BY 1, 2"),
         "range_join_stats": (
             "WITH iv AS (SELECT i AS iid, i * 25.0 AS lo, "
             "i * 25.0 + 40.0 AS hi FROM (SELECT unnest("
