@@ -1555,6 +1555,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "sum_v", "max_v")
     q["events_rollup"] = events_rollup
 
+    # ---- KMV distinct-count sketch (deterministic; exact cross-engine
+    #      parity, unlike HLL) ----
+    def kmv_distinct(spark, sf_dir):
+        from ocr_devnagari_spark.functions.sketches import kmv_estimate
+        d = _t(spark, sf_dir, "documents")
+        return kmv_estimate(d, "text", k=128)
+    q["kmv_distinct"] = kmv_distinct
+
     return q
 
 
@@ -2382,6 +2390,9 @@ def oracle_sql() -> dict[str, str]:
 
     from ocr_devnagari_spark.functions.text import blocklist_pattern
     _blockpat = blocklist_pattern(_BLOCKTERMS)
+
+    from ocr_devnagari_spark.functions.sketches import kmv_estimate_sql
+    _kmv_sql = kmv_estimate_sql("documents", "text", k=128)
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2663,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
             "k.t AS t_r, round(k.tick, 4) AS tick_r "
             "FROM e ASOF LEFT JOIN ticks k "
             "ON e.user_id = k.user_id AND e.t >= k.t"),
+        "kmv_distinct": _kmv_sql,
         "events_cube": (
             "SELECT coalesce(event_type, '(all)') AS event_type, "
             "coalesce(day, '(all)') AS day, count(*) AS n, "

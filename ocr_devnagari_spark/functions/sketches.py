@@ -1,0 +1,83 @@
+"""KMV (k-minimum-values) distinct-count sketch — deterministic by
+construction, so the DuckDB oracle computes the IDENTICAL estimate.
+
+``approx_count_distinct`` exists in both engines but their HLL
+implementations differ, so cross-engine parity is impossible and the
+sketch itself is unauditable.  KMV (Bar-Yossef et al. 2002; the
+Theta-sketch family's base estimator) is a pure function of the data
+given a fixed hash: map every value to a uniform point in [0, 1),
+keep the k smallest points, and estimate
+
+    D ≈ (k - 1) / u_k        (u_k = the k-th smallest point)
+
+The hash is the md5-prefix wheel the splits module uses (32 uniform
+bits, identical in Spark / Python / DuckDB).  Mergeability — union of
+two sketches = k smallest of the concatenation — is what makes it a
+sketch rather than a sample; ``kmv_merge`` demonstrates it.
+
+Scale shape: one ``TakeOrdered(k)``-style global bottom-k (Spark
+computes ``orderBy(h).limit(k)`` as per-partition partial top-k +
+driver merge of k·partitions values — no full sort, no collect of the
+data itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)
+
+
+def kmv_point(col: Column) -> Column:
+    """Uniform point in [0, 1) from the md5-prefix wheel (identical in
+    DuckDB: ``('0x' || substr(md5(v), 1, 8))::UBIGINT / 2^32``)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(HASH_SPACE)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The sketch itself: the k smallest DISTINCT hash points, one row
+    each (column ``p``).  Bottom-k runs as partial per-partition top-k,
+    never a full sort."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (df.select(kmv_point(F.col(col)).alias("p"))
+            .distinct().orderBy("p").limit(k))
+
+
+def kmv_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row ``(n_est, k_used)``: distinct-count estimate.  When the
+    sketch holds fewer than k points the count is EXACT (that many
+    distinct hashes were seen in total)."""
+    sk = kmv_sketch(df, col, k)
+    return (sk.agg(F.count(F.lit(1)).alias("k_used"),
+                   F.max("p").alias("_uk"))
+            .select(
+                F.when(F.col("k_used") < k,
+                       F.col("k_used").cast("double"))
+                .otherwise(F.round((F.col("k_used") - 1) / F.col("_uk"),
+                                   4)).alias("n_est"),
+                F.col("k_used").cast("long").alias("k_used")))
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Union sketches (each a ``p`` frame) into one: the k smallest of
+    the concatenation — the mergeability property that lets per-shard
+    sketches roll up without touching raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("p").limit(k)
+
+
+def kmv_estimate_sql(rel: str, col: str, k: int = 256) -> str:
+    """DuckDB mirror of ``kmv_estimate`` over relation ``rel``."""
+    pt = (f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+          f"::UBIGINT / {HASH_SPACE})")
+    return (
+        f"WITH pts AS (SELECT DISTINCT {pt} AS p FROM {rel} "
+        f"ORDER BY p LIMIT {k}) "
+        f"SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE "
+        f"ELSE round((count(*) - 1) / max(p), 4) END AS n_est, "
+        "count(*)::BIGINT AS k_used FROM pts")

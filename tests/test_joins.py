@@ -81,3 +81,42 @@ def test_range_join_is_equi_join_not_cartesian(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from ocr_devnagari_spark.functions.sketches import kmv_estimate
+    small = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    r = kmv_estimate(small, "v", k=128).collect()[0]
+    assert (r["n_est"], r["k_used"]) == (50.0, 50)   # exact below k
+    big = spark.range(20_000).select(
+        F.col("id").cast("string").alias("v"))
+    r2 = kmv_estimate(big, "v", k=256).collect()[0]
+    assert r2["k_used"] == 256
+    assert abs(r2["n_est"] - 20_000) / 20_000 < 0.2  # ~1/sqrt(k) error
+    # duplicates do not inflate the estimate
+    dup = big.unionByName(big)
+    r3 = kmv_estimate(dup, "v", k=256).collect()[0]
+    assert r3["n_est"] == r2["n_est"]
+    with pytest.raises(ValueError):
+        from ocr_devnagari_spark.functions.sketches import kmv_sketch
+        kmv_sketch(big, "v", k=1)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from ocr_devnagari_spark.functions.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(
+        F.col("id").cast("string").alias("v"))
+    merged = sorted(r["p"] for r in
+                    kmv_merge([kmv_sketch(a, "v", 64),
+                               kmv_sketch(b, "v", 64)], 64).collect())
+    direct = sorted(r["p"] for r in
+                    kmv_sketch(a.unionByName(b), "v", 64).collect())
+    assert merged == direct
