@@ -1495,9 +1495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # oracle's epoch() keeps — the events_sessionize pattern)
             F.col("ts").cast("timestamp").cast("double").alias("t"),
             "value")
+        # one tick per (user, t): native ASOF oracles pick an ARBITRARY
+        # row among (key, ts) ties, so the comparison fixture must be
+        # tie-free (the operator itself breaks ties deterministically)
         ticks = (e.filter(F.col("event_id") % 7 == 0)
-                 .select("user_id", "t",
-                         F.round(F.col("value"), 4).alias("tick")))
+                 .groupBy("user_id", "t")
+                 .agg(F.round(F.max("value"), 4).alias("tick")))
         out = asof_join(e.select("event_id", "user_id", "t"),
                         ticks, on="t", by="user_id")
         return out.select("event_id", "user_id", "t", "t_r",
@@ -2668,8 +2671,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": (
             "WITH e AS (SELECT event_id, user_id, "
             "epoch(ts)::DOUBLE AS t, value FROM events), "
-            "ticks AS (SELECT user_id, t, round(value, 4) AS tick "
-            "FROM e WHERE event_id % 7 = 0) "
+            "ticks AS (SELECT user_id, t, round(max(value), 4) AS tick "
+            "FROM e WHERE event_id % 7 = 0 GROUP BY user_id, t) "
             "SELECT e.event_id, e.user_id, e.t, "
             "k.t AS t_r, round(k.tick, 4) AS tick_r "
             "FROM e ASOF LEFT JOIN ticks k "

@@ -30,19 +30,27 @@ HASH_SPACE = float(1 << 32)
 
 
 def kmv_point(col: Column) -> Column:
-    """Uniform point in [0, 1) from the md5-prefix wheel (identical in
-    DuckDB: ``('0x' || substr(md5(v), 1, 8))::UBIGINT / 2^32``)."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
-    return h.cast("double") / F.lit(HASH_SPACE)
+    """Uniform point in [0, 1) from the shared md5-prefix wheel
+    (``splits.wheel32`` — the single cross-engine hash expression).
+
+    Cross-engine identity holds for STRING columns; other types are
+    cast, but numeric→string rendering differs between engines
+    (scientific notation thresholds), so sketch strings — or format
+    numerics explicitly — when an oracle must agree."""
+    from .splits import wheel32
+    return wheel32(col).cast("double") / F.lit(HASH_SPACE)
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """The sketch itself: the k smallest DISTINCT hash points, one row
-    each (column ``p``).  Bottom-k runs as partial per-partition top-k,
-    never a full sort."""
+    each (column ``p``).  NULL values are excluded (standard distinct-
+    count semantics — and Spark sorts NULLS FIRST where DuckDB sorts
+    them LAST, so letting one in would desynchronize the bottom-k).
+    Bottom-k runs as partial per-partition top-k, never a full sort."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    return (df.select(kmv_point(F.col(col)).alias("p"))
+    return (df.filter(F.col(col).isNotNull())
+            .select(kmv_point(F.col(col)).alias("p"))
             .distinct().orderBy("p").limit(k))
 
 
@@ -73,11 +81,11 @@ def kmv_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
 
 def kmv_estimate_sql(rel: str, col: str, k: int = 256) -> str:
     """DuckDB mirror of ``kmv_estimate`` over relation ``rel``."""
-    pt = (f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
-          f"::UBIGINT / {HASH_SPACE})")
+    from .splits import wheel32_sql
+    pt = f"({wheel32_sql(col)} / {HASH_SPACE})"
     return (
         f"WITH pts AS (SELECT DISTINCT {pt} AS p FROM {rel} "
-        f"ORDER BY p LIMIT {k}) "
+        f"WHERE {col} IS NOT NULL ORDER BY p LIMIT {k}) "
         f"SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE "
         f"ELSE round((count(*) - 1) / max(p), 4) END AS n_est, "
         "count(*)::BIGINT AS k_used FROM pts")

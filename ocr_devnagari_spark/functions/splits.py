@@ -34,18 +34,31 @@ from pyspark.sql import functions as F
 WHEEL = 10_000  # split wheel resolution: 0.01% granularity
 
 
+def wheel32(key: Column) -> Column:
+    """Raw 32-bit md5-prefix hash as a LONG — the ONE cross-engine
+    hash expression (see :func:`wheel32_sql`); every consumer (buckets,
+    splits, KMV sketch) builds on this pair so the two engines can
+    never desynchronize.  NULL in → NULL out; callers pick their own
+    NULL policy."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
+def wheel32_sql(key: str) -> str:
+    return f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT"
+
+
 def hash_bucket(key: Column, n_buckets: int) -> Column:
     """Stable bucket in ``[0, n_buckets)`` — ``int(md5(key)[:8], 16) %
     n_buckets``.  NULL keys hash as the empty string (documented: they
     all land together rather than dropping out)."""
-    h = F.conv(F.substring(F.md5(F.coalesce(key.cast("string"),
-                                            F.lit(""))), 1, 8), 16, 10)
-    return (h.cast("long") % n_buckets).alias("bucket")
+    h = wheel32(F.coalesce(key.cast("string"), F.lit("")))
+    return (h % n_buckets).alias("bucket")
 
 
 def hash_bucket_sql(key: str, n_buckets: int) -> str:
-    return (f"(('0x' || substr(md5(coalesce(CAST({key} AS VARCHAR), '')),"
-            f" 1, 8))::UBIGINT % {n_buckets})")
+    nn = f"coalesce(CAST({key} AS VARCHAR), '')"
+    return f"({wheel32_sql(nn)} % {n_buckets})"
 
 
 def _split_boundaries(weights: dict[str, float] | None

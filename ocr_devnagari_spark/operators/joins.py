@@ -37,47 +37,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _as_numeric(df: DataFrame, col: str):
+    """Normalize a timestamp ``on`` column to epoch-seconds DOUBLE
+    (tolerance arithmetic and the matched-ts output are numeric);
+    numeric columns pass through unchanged."""
+    t = df.schema[col].dataType.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col)
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list = "key", tolerance: float | None = None,
               right_cols: list | None = None,
               suffix: str = "_r") -> DataFrame:
     """Backward inclusive as-of join; right payload columns arrive as
     ``<col><suffix>`` (``on`` itself as ``<on><suffix>``), NULL when no
-    right row precedes (or the match is older than ``tolerance``)."""
+    right row precedes (or the match is older than ``tolerance``).
+
+    The matched right row is carried as ONE struct, so its columns
+    always come from the SAME row (a NULL payload value on the matched
+    row stays NULL — merge_asof/ASOF semantics; independent per-column
+    carries would resurrect older values).  Ties are deterministic:
+    among right rows sharing (key, ts), the one with the GREATEST
+    payload struct wins (documented rule; native ASOF engines pick an
+    arbitrary row, so pre-aggregate ties away when mirroring one).
+    Timestamp ``on`` columns are normalized to epoch-seconds DOUBLE
+    (``<on><suffix>`` comes back numeric).
+    """
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [c for c in right.columns
                                 if c not in by + [on]]
-    l_tag = left.select(*by, F.col(on),
-                        F.lit(1).alias("_is_l"),
-                        F.lit(None).cast("double").alias("_rts"),
-                        *[F.lit(None).cast(right.schema[c].dataType)
-                          .alias(f"_rv_{c}") for c in right_cols],
-                        F.struct(*left.columns).alias("_l"))
-    r_tag = right.select(*by, F.col(on),
+    r_struct = F.struct(
+        _as_numeric(right, on).alias("_ts"),
+        *[F.col(c).alias(c) for c in right_cols])
+    l_struct = F.struct(*left.columns)
+    r_tag = right.select(*by, _as_numeric(right, on).alias("_t"),
                          F.lit(0).alias("_is_l"),
-                         F.col(on).cast("double").alias("_rts"),
-                         *[F.col(c).alias(f"_rv_{c}")
-                           for c in right_cols],
-                         F.lit(None).cast(l_tag.schema["_l"].dataType)
-                         .alias("_l"))
+                         r_struct.alias("_r"))
+    r_tag = r_tag.withColumn(
+        "_l", F.lit(None).cast(
+            left.select(l_struct.alias("_l")).schema["_l"].dataType))
+    l_tag = left.select(*by, _as_numeric(left, on).alias("_t"),
+                        F.lit(1).alias("_is_l"),
+                        F.lit(None).cast(
+                            r_tag.schema["_r"].dataType).alias("_r"),
+                        l_struct.alias("_l"))
     # right rows sort BEFORE left rows at equal ts (_is_l asc) so a
-    # quote AT the event time is visible — the inclusive rule
-    w = (Window.partitionBy(*by).orderBy(F.col(on), F.col("_is_l"))
+    # quote AT the event time is visible — the inclusive rule; the
+    # trailing _r key makes equal-(ts,side) right rows deterministic
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col("_t"), F.col("_is_l"), F.col("_r"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = r_tag.unionByName(l_tag).select(
-        "*",
-        F.last("_rts", ignorenulls=True).over(w).alias("_m_ts"),
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w)
-          .alias(f"_m_{c}") for c in right_cols])
-    out = carried.filter(F.col("_is_l") == 1)
-    ok = F.col("_m_ts").isNotNull()
+    carried = (r_tag.unionByName(l_tag)
+               .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+               .filter(F.col("_is_l") == 1))
+    ok = F.col("_m").isNotNull()
     if tolerance is not None:
-        ok = ok & ((F.col(on) - F.col("_m_ts")) <= tolerance)
+        ok = ok & ((F.col("_t") - F.col("_m._ts")) <= tolerance)
     sel = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    sel.append(F.when(ok, F.col("_m_ts")).alias(f"{on}{suffix}"))
-    sel += [F.when(ok, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
+    sel.append(F.when(ok, F.col("_m._ts")).alias(f"{on}{suffix}"))
+    sel += [F.when(ok, F.col(f"_m.{c}")).alias(f"{c}{suffix}")
             for c in right_cols]
-    return out.select(*sel)
+    return carried.select(*sel)
 
 
 def range_join(points: DataFrame, intervals: DataFrame,

@@ -120,3 +120,51 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     direct = sorted(r["p"] for r in
                     kmv_sketch(a.unionByName(b), "v", 64).collect())
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# review-fix pins
+# ---------------------------------------------------------------------------
+
+def test_asof_matched_row_null_payload_stays_null(spark):
+    """The matched right row's columns come from ONE row: a NULL payload
+    on the matched row must NOT be backfilled from an older row."""
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, x long")
+    rdf = spark.createDataFrame(
+        [(1, 5, 100), (1, 8, None)], "k long, ts long, p int")
+    r = asof_join(ldf, rdf, on="ts", by="k").collect()[0]
+    assert int(r["ts_r"]) == 8 and r["p_r"] is None
+
+
+def test_asof_tie_among_right_rows_is_deterministic(spark):
+    rows = [(1, 10, 1.0), (1, 10, 2.0)]
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, x long")
+    for perm in (rows, rows[::-1]):
+        rdf = spark.createDataFrame(perm, "k long, ts long, p double")
+        r = asof_join(ldf, rdf.repartition(4), on="ts", by="k").collect()
+        assert r[0]["p_r"] == 2.0          # greatest payload wins
+
+
+def test_asof_accepts_timestamp_on_column(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    ldf = spark.createDataFrame([(1, t1, 7)],
+                                "k long, ts timestamp, x long")
+    rdf = spark.createDataFrame([(1, t0, 42)],
+                                "k long, ts timestamp, p long")
+    r = asof_join(ldf, rdf, on="ts", by="k", tolerance=60.0).collect()[0]
+    assert r["p_r"] == 42 and r["ts"] == t1      # left col type preserved
+    r2 = asof_join(ldf, rdf, on="ts", by="k", tolerance=10.0).collect()[0]
+    assert r2["p_r"] is None                      # older than tolerance
+
+
+def test_kmv_ignores_nulls(spark):
+    from ocr_devnagari_spark.functions.sketches import kmv_estimate
+    vals = [(str(i),) for i in range(300)] + [(None,)] * 50
+    df = spark.createDataFrame(vals, "v string")
+    r = kmv_estimate(df, "v", k=64).collect()[0]
+    assert r["k_used"] == 64
+    r_nonull = kmv_estimate(df.filter("v is not null"), "v",
+                            k=64).collect()[0]
+    assert r["n_est"] == r_nonull["n_est"]
