@@ -1566,6 +1566,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_estimate(d, "text", k=128)
     q["kmv_distinct"] = kmv_distinct
 
+    # ---- quality-weighted sampling (Efraimidis–Spirakis, determin.) --
+    def weighted_sample_q(spark, sf_dir):
+        from ocr_devnagari_spark.functions.splits import weighted_sample
+        from ocr_devnagari_spark.functions.text import quality_score
+        d = _t(spark, sf_dir, "documents")
+        picked = weighted_sample(
+            d.select("doc_id", "lang",
+                     quality_score(F.col("text")).alias("q")),
+            weight=F.col("q"), k=100, key=F.col("doc_id"))
+        return picked.select("doc_id", "lang")
+    q["weighted_sample"] = weighted_sample_q
+
     return q
 
 
@@ -2396,6 +2408,9 @@ def oracle_sql() -> dict[str, str]:
 
     from ocr_devnagari_spark.functions.sketches import kmv_estimate_sql
     _kmv_sql = kmv_estimate_sql("documents", "text", k=128)
+
+    from ocr_devnagari_spark.functions.splits import es_key_sql
+    _es_sql = es_key_sql("doc_id", "q")
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2678,6 +2693,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM e ASOF LEFT JOIN ticks k "
             "ON e.user_id = k.user_id AND e.t >= k.t"),
         "kmv_distinct": _kmv_sql,
+        "weighted_sample": (
+            "SELECT doc_id, lang FROM ("
+            f"SELECT doc_id, lang, {_es_sql} AS es FROM ("
+            f"SELECT doc_id, lang, {_quality_expr('text')} AS q "
+            "FROM documents)) ORDER BY es LIMIT 100"),
         "events_cube": (
             "SELECT coalesce(event_type, '(all)') AS event_type, "
             "coalesce(day, '(all)') AS day, count(*) AS n, "

@@ -130,6 +130,38 @@ def sample_predicate_sql(key: str, rate: float) -> str:
     return f"({hash_bucket_sql(key, WHEEL)} < {int(round(rate * WHEEL))})"
 
 
+def es_key(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: ``-ln(u) / w`` with
+    ``u`` drawn deterministically from the md5 wheel (u ∈ (0, 1], the
+    +1 shift keeps ln away from 0).  The k SMALLEST keys form a
+    weighted sample without replacement — deterministic in the data,
+    so re-running the corpus build selects the same documents.
+    Non-positive weights get +infinity (never sampled)."""
+    u = (wheel32(F.coalesce(key.cast("string"), F.lit("")))
+         + F.lit(1)).cast("double") / F.lit(float((1 << 32)))
+    return (F.when(weight > 0, -F.log(u) / weight)
+            .otherwise(F.lit(float("inf"))))
+
+
+def es_key_sql(key: str, weight: str) -> str:
+    nn = f"coalesce(CAST({key} AS VARCHAR), '')"
+    u = f"(({wheel32_sql(nn)} + 1) / {float(1 << 32)})"
+    return (f"(CASE WHEN {weight} > 0 THEN -ln({u}) / {weight} "
+            "ELSE 1e308 END)")
+
+
+def weighted_sample(df: DataFrame, weight: Column, k: int,
+                    key: Column) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows
+    with the smallest ES keys.  Executes as a bounded top-k
+    (``orderBy().limit()`` → per-partition partial top-k + driver merge
+    of k·partitions keys), never a full sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (df.withColumn("_es", es_key(key, weight))
+            .orderBy("_es").limit(k).drop("_es"))
+
+
 def stratified_predicate(key: Column, strata: Column,
                          rates: dict[str, float],
                          default_rate: float = 0.0) -> Column:

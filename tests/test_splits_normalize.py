@@ -265,3 +265,31 @@ def test_compression_ratio_matches_zlib(spark):
             assert got[i][1] == (exp >= 0.25), i
     # repetitive text compresses much better than prose
     assert got[0][0] < 0.1 < got[1][0]
+
+
+def test_weighted_sample_bias_determinism_and_zero_weights(spark):
+    from ocr_devnagari_spark.functions.splits import weighted_sample
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(0.5).alias("w"))
+    pick = weighted_sample(df, weight=F.col("w"), k=400,
+                           key=F.col("k"))
+    rows = pick.collect()
+    assert len(rows) == 400
+    heavy = sum(1 for r in rows if int(r["k"]) % 2 == 0)
+    assert heavy > 300            # 20x weight ratio dominates the draw
+    # deterministic across recomputation and partitioning
+    again = weighted_sample(df.repartition(7), weight=F.col("w"),
+                            k=400, key=F.col("k")).collect()
+    assert {r["k"] for r in rows} == {r["k"] for r in again}
+    # zero/negative weights are never sampled
+    df2 = spark.range(100).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") < 5, 1.0).otherwise(0.0).alias("w"))
+    got = {r["k"] for r in weighted_sample(
+        df2, weight=F.col("w"), k=10, key=F.col("k")).collect()
+        if r["w"] > 0}
+    assert got == {"0", "1", "2", "3", "4"}
+    with pytest.raises(ValueError):
+        weighted_sample(df2, weight=F.col("w"), k=0, key=F.col("k"))
