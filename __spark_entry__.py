@@ -1578,6 +1578,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return picked.select("doc_id", "lang")
     q["weighted_sample"] = weighted_sample_q
 
+    # ---- near-dup prune pipeline: pairs → components → keeper list --
+    def neardup_prune(spark, sf_dir):
+        from ocr_devnagari_spark.operators.dedup import (
+            connected_components,
+            jaccard_pairs,
+        )
+        d = _dupful_docs(spark, sf_dir, source="src0")
+        pairs = jaccard_pairs(d, n=2, threshold=0.8, max_df=None)
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        losers = (comp.filter(F.col("component") != F.col("id"))
+                  .select(F.col("id").alias("doc_id")))
+        return (d.select("doc_id")
+                .join(losers, "doc_id", "left_anti"))
+    q["neardup_prune"] = neardup_prune
+
     return q
 
 
@@ -2090,6 +2105,39 @@ WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.05
 """
 
 
+_NEARDUP_PRUNE_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE source = 'src0' AND doc_id % 97 = 0),
+toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
+g AS (SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] AS shingle
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+           AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM g a JOIN g b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM common
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.8),
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+                       UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (SELECT id, id FROM nodes
+                 UNION
+                 SELECT e.a, reach.r FROM edges e
+                 JOIN reach ON reach.id = e.b),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id FROM d LEFT JOIN comp ON comp.id = d.doc_id
+WHERE comp.id IS NULL OR comp.component = d.doc_id
+"""
+
+
 def _a2_cost_sql() -> str:
     # Unit costs pulled from the SAME registry metadata the Spark query
     # uses — an edited cost constant diverges loudly, not silently.
@@ -2509,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
             f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "
             "GROUP BY md5(text) HAVING count(*) > 1"),
         "dedup_jaccard": _JACCARD_SQL,
+        "neardup_prune": _NEARDUP_PRUNE_SQL,
         "robots_noindex": _robots_noindex_sql(),
         "robots_rules": _robots_rules_sql(),
         "robots_gate_stats": _robots_gate_sql(),
