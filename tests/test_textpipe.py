@@ -387,3 +387,28 @@ def test_url_spam_signals_fixed(spark):
     for i, _, d, s, rep in rows:
         assert (got[i]["d"], got[i]["s"], got[i]["r"]) == (d, s, rep), i
     assert got[2]["p"] == 2 and got[3]["p"] == 0
+
+
+def test_repetition_arrow_equals_jvm(spark):
+    """The Arrow default and the pure-Catalyst path are the same
+    function — pinned over a real corpus slice including short docs."""
+    from ocr_devnagari_spark.functions.repetition import (
+        repetition_pass_expr,
+        repetition_signals,
+    )
+    rows = list(enumerate(TEXTS)) + [(90, None), (91, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_signals(df, impl="arrow").collect()}
+    j = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_signals(df, impl="jvm").collect()}
+    assert a == j
+    pa = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id", repetition_pass_expr(F.col("text"),
+                                       impl="arrow").alias("p")).collect()}
+    pj = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id", repetition_pass_expr(F.col("text"),
+                                       impl="jvm").alias("p")).collect()}
+    assert pa == pj
+    with pytest.raises(ValueError):
+        repetition_signals(df, impl="rdd")
