@@ -2085,32 +2085,14 @@ def _robots_noindex_sql() -> str:
             f"AS html FROM documents)")
 
 
-_JACCARD_SQL = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
-toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
-g AS (SELECT DISTINCT doc_id,
-             ts[i] || ' ' || ts[i+1] AS shingle
-      FROM toks, LATERAL unnest(generate_series(1, greatest(len(ts) - 1, 0)))
-           AS u(i)),
-sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM g a JOIN g b USING (shingle)
-           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT id_a, id_b,
-       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
-FROM common
-JOIN sz sa ON sa.doc_id = id_a
-JOIN sz sb ON sb.doc_id = id_b
-WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.05
-"""
-
-
-_NEARDUP_PRUNE_SQL = """
-WITH RECURSIVE d AS (
-  SELECT doc_id, text FROM documents WHERE source = 'src0'
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents
-  WHERE source = 'src0' AND doc_id % 97 = 0),
+def _jaccard_ctes(d_sql: str, threshold: float) -> str:
+    """Shared shingle/Jaccard CTE chain (tokenize → distinct bigram
+    shingles → sizes → common counts) over a CTE body ``d_sql`` that
+    yields (doc_id, text) — ONE definition for every oracle that rests
+    on the Jaccard rule, so a tokenization/rounding tweak cannot
+    half-land."""
+    return f"""
+d AS ({d_sql}),
 toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS ts FROM d),
 g AS (SELECT DISTINCT doc_id,
              ts[i] || ' ' || ts[i+1] AS shingle
@@ -2120,13 +2102,24 @@ sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
 common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
            FROM g a JOIN g b USING (shingle)
            WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-pairs AS MATERIALIZED (
-  SELECT id_a, id_b FROM common
-  JOIN sz sa ON sa.doc_id = id_a
-  JOIN sz sb ON sb.doc_id = id_b
-  WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.8),
-edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
-                       UNION ALL SELECT id_b, id_a FROM pairs),
+jacc AS (SELECT id_a, id_b,
+                round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+         FROM common
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {threshold})"""
+
+
+_JACCARD_SQL = ("WITH " + _jaccard_ctes(
+    "SELECT doc_id, text FROM documents WHERE source = 'src0'", 0.05)
+    + " SELECT id_a, id_b, jaccard FROM jacc")
+
+_NEARDUP_PRUNE_SQL = ("WITH RECURSIVE " + _jaccard_ctes(
+    "SELECT doc_id, text FROM documents WHERE source = 'src0' "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+    "WHERE source = 'src0' AND doc_id % 97 = 0", 0.8) + """,
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jacc
+                       UNION ALL SELECT id_b, id_a FROM jacc),
 nodes AS (SELECT DISTINCT a AS id FROM edges),
 reach(id, r) AS (SELECT id, id FROM nodes
                  UNION
@@ -2135,7 +2128,7 @@ reach(id, r) AS (SELECT id, id FROM nodes
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
 SELECT d.doc_id FROM d LEFT JOIN comp ON comp.id = d.doc_id
 WHERE comp.id IS NULL OR comp.component = d.doc_id
-"""
+""")
 
 
 def _a2_cost_sql() -> str:
@@ -2746,7 +2739,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM ("
             f"SELECT doc_id, lang, {_es_sql} AS es FROM ("
             f"SELECT doc_id, lang, {_quality_expr('text')} AS q "
-            "FROM documents)) ORDER BY es LIMIT 100"),
+            "FROM documents)) WHERE es < 1e308 "
+            "ORDER BY es, doc_id LIMIT 100"),
         "events_cube": (
             "SELECT coalesce(event_type, '(all)') AS event_type, "
             "coalesce(day, '(all)') AS day, count(*) AS n, "

@@ -154,14 +154,17 @@ def ngram_stats(df: DataFrame, n: int, id_col: str = "doc_id",
 
 
 def _round6(x: float) -> float:
-    """HALF_UP to 6 d.p. over the float's EXACT binary value —
-    ``Decimal(float)`` mirrors Java ``BigDecimal(double)``, which is
-    what Spark's (and DuckDB's) round() does.  Python's builtin round
-    is banker's and diverges on exact ties (0.1640625 → .164062 vs the
-    engines' .164063 — caught by the oracle gate)."""
+    """HALF_UP to 6 d.p. over the float's SHORTEST-DECIMAL repr —
+    ``Decimal(repr(x))`` mirrors Java ``BigDecimal.valueOf(double)``
+    (Double.toString), which is what Spark's round() actually uses;
+    quantizing the exact binary value (``Decimal(x)``) diverges on
+    quotients like 3/640 whose binary expansion sits just below the
+    tie (engines: .004688, exact-binary: .004687).  Python's builtin
+    round is banker's and diverges on exact ties as well — both
+    variants were caught by the oracle gate."""
     from decimal import ROUND_HALF_UP, Decimal
-    return float(Decimal(x).quantize(Decimal("0.000001"),
-                                     rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
 
 
 def _py_signals(text: str, specs: tuple):
@@ -176,6 +179,12 @@ def _py_signals(text: str, specs: tuple):
     out = []
     for n, want_top in specs:
         if len(words) < n:
+            out.append(None)
+            continue
+        if total == 0:
+            # n=1 over '' : no characters to measure — NULL ("cannot
+            # repeat"), matching the jvm path's total>0 guard (a bare
+            # 0/0 would raise under ANSI mode)
             out.append(None)
             continue
         c = Counter(tuple(words[i:i + n])
@@ -253,7 +262,7 @@ def repetition_signals(df: DataFrame, top_ns: tuple = (2, 3),
     for (n, want_top), nm in zip(specs, names):
         grams = word_ngrams(F.col(text_col), n)
         st = _run_stats(F.array_sort(grams), with_gram=False)
-        present = F.size(grams) > 0
+        present = (F.size(grams) > 0) & (total > 0)
         field = "top" if want_top else "dup"
         cols.append(F.when(present, frac(st[field])).alias(nm))
     return df.select(*cols)
@@ -306,13 +315,14 @@ def gopher_repetition_pass(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            max_top2: float = 0.20,
                            max_top3: float = 0.18,
-                           max_dup5: float = 0.15) -> DataFrame:
+                           max_dup5: float = 0.15,
+                           impl: str = "arrow") -> DataFrame:
     """Gopher-style repetition gate: keep documents below every
     threshold (Rae et al. 2021 use 0.20/0.18/.../0.15 for the
     corresponding signals).  Returns ``(id_col, top2_frac, top3_frac,
     dup5_frac, rep_pass)``."""
     sig = repetition_signals(df, top_ns=(2, 3), dup_ns=(5,),
-                             id_col=id_col, text_col=text_col)
+                             id_col=id_col, text_col=text_col, impl=impl)
     keep = ((F.coalesce(F.col("top2_frac"), F.lit(0.0)) <= max_top2)
             & (F.coalesce(F.col("top3_frac"), F.lit(0.0)) <= max_top3)
             & (F.coalesce(F.col("dup5_frac"), F.lit(0.0)) <= max_dup5))

@@ -153,13 +153,18 @@ def es_key_sql(key: str, weight: str) -> str:
 def weighted_sample(df: DataFrame, weight: Column, k: int,
                     key: Column) -> DataFrame:
     """Deterministic weighted sample WITHOUT replacement: the k rows
-    with the smallest ES keys.  Executes as a bounded top-k
-    (``orderBy().limit()`` → per-partition partial top-k + driver merge
-    of k·partitions keys), never a full sort."""
+    with the smallest ES keys.  Non-positive-weight rows are FILTERED
+    (not merely pushed to +inf — a k larger than the positive-weight
+    population must return fewer rows, never excluded ones), and the
+    sample key itself is the final tie-breaker so 32-bit wheel
+    collisions cannot make the selected set partition-order dependent.
+    Executes as a bounded top-k (``orderBy().limit()`` →
+    per-partition partial top-k + driver merge), never a full sort."""
     if k < 1:
         raise ValueError("k must be >= 1")
     return (df.withColumn("_es", es_key(key, weight))
-            .orderBy("_es").limit(k).drop("_es"))
+            .filter(F.col("_es") != float("inf"))
+            .orderBy("_es", key).limit(k).drop("_es"))
 
 
 def stratified_predicate(key: Column, strata: Column,

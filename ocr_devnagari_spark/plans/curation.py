@@ -14,12 +14,13 @@ One declarative plan chaining the public web-corpus recipe:
 4. **Split assignment** — leakage-safe hash split on the host key
    (``functions/splits.split_assign``).
 
-Everything stays one Catalyst plan: the gates are codegen
-expressions, the repetition signals in-row aggregate expressions, dedup one
-hash-partitioned window, the split a pure projection.  Spark pipelines
-the whole thing — no intermediate materialization, and every shuffle
-is keyed (doc id / text hash), never all-pairs.  At 100 TB the plan is
-scan → narrow gates → one agg → one window shuffle → final agg.
+Everything stays one plan: the quality gate and split are codegen
+expressions, the repetition gate an Arrow-batched per-row predicate by
+default (``repetition_impl='jvm'`` keeps it pure Catalyst for clusters
+without Python workers), dedup one hash-partitioned window.  Spark
+pipelines the whole thing — no intermediate materialization, and every
+shuffle is keyed (doc id / text hash), never all-pairs.  At 100 TB the
+plan is scan → narrow gates → one window shuffle → final agg.
 
 Gate order is part of the spec (gates BEFORE dedup: a boilerplate page
 that fails quality can then never claim keeper-ship over a passing
@@ -39,7 +40,8 @@ from ..functions.text import gopher_pass, token_count
 def curate_docs(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", host_col: str = "host",
                 weights: dict[str, float] | None = None,
-                min_words: int = 40) -> DataFrame:
+                min_words: int = 40,
+                repetition_impl: str = "arrow") -> DataFrame:
     """Per-document curation verdicts: gated, deduped, split-assigned.
 
     Returns ``(id_col, split, n_tokens)`` for the SURVIVING documents
@@ -47,7 +49,8 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
     split)."""
     text = F.col(text_col)
     gated = df.filter(gopher_pass(text, min_words=min_words)
-                      & repetition_pass_expr(text))
+                      & repetition_pass_expr(text,
+                                             impl=repetition_impl))
     w = Window.partitionBy(F.md5(text)).orderBy(F.col(id_col))
     deduped = (gated
                .withColumn("_rn", F.row_number().over(w))
@@ -104,12 +107,14 @@ def authority_weighted_mix(docs: DataFrame, edges: DataFrame,
 def curation_report(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", host_col: str = "host",
                     weights: dict[str, float] | None = None,
-                    min_words: int = 40) -> DataFrame:
+                    min_words: int = 40,
+                    repetition_impl: str = "arrow") -> DataFrame:
     """(split, n_docs, total_tokens) over the curated corpus — the
     training-mix summary a corpus build publishes."""
     return (curate_docs(df, id_col=id_col, text_col=text_col,
                         host_col=host_col, weights=weights,
-                        min_words=min_words)
+                        min_words=min_words,
+                        repetition_impl=repetition_impl)
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))

@@ -293,3 +293,15 @@ def test_weighted_sample_bias_determinism_and_zero_weights(spark):
     assert got == {"0", "1", "2", "3", "4"}
     with pytest.raises(ValueError):
         weighted_sample(df2, weight=F.col("w"), k=0, key=F.col("k"))
+
+
+def test_weighted_sample_never_returns_zero_weight_rows(spark):
+    from ocr_devnagari_spark.functions.splits import weighted_sample
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") < 5, 1.0).otherwise(0.0).alias("w"))
+    got = weighted_sample(df, weight=F.col("w"), k=10,
+                          key=F.col("k")).collect()
+    # k exceeds the positive-weight population: return FEWER rows,
+    # never excluded ones
+    assert len(got) == 5 and all(r["w"] > 0 for r in got)

@@ -412,3 +412,26 @@ def test_repetition_arrow_equals_jvm(spark):
     assert pa == pj
     with pytest.raises(ValueError):
         repetition_signals(df, impl="rdd")
+
+
+def test_round6_matches_engine_rounding_on_tie_quotients(spark):
+    """Quotients like 3/640 round differently under exact-binary
+    quantization vs the engines' shortest-repr HALF_UP — pin the fix."""
+    from ocr_devnagari_spark.functions.repetition import _round6
+    for num, den in [(3, 640), (7, 640), (17, 640), (105, 640),
+                     (164_0625, 1_000_0000)]:
+        x = num / den
+        eng = spark.sql(f"SELECT round(CAST({num} AS DOUBLE) / {den}, 6) "
+                        "AS r").collect()[0]["r"]
+        assert _round6(x) == eng, (num, den)
+
+
+def test_repetition_arrow_n1_empty_text_matches_jvm(spark):
+    from ocr_devnagari_spark.functions.repetition import repetition_signals
+    df = spark.createDataFrame([(0, ""), (1, "a a")],
+                               "doc_id long, text string")
+    a = {r["doc_id"]: r["top1_frac"] for r in repetition_signals(
+        df, top_ns=(1,), dup_ns=(), impl="arrow").collect()}
+    j = {r["doc_id"]: r["top1_frac"] for r in repetition_signals(
+        df, top_ns=(1,), dup_ns=(), impl="jvm").collect()}
+    assert a == j
