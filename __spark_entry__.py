@@ -1558,6 +1558,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", "sum_v", "max_v")
     q["events_rollup"] = events_rollup
 
+    # ---- language-ID confidence (top-score share of stopword hits) --
+    def lang_confidence(spark, sf_dir):
+        from ocr_devnagari_spark.functions.text import lang_id, lang_scores
+        d = _t(spark, sf_dir, "documents")
+        scores = lang_scores(F.col("text"))
+        mx = F.greatest(*scores.values())
+        tot = sum(scores.values())
+        share = F.round(
+            F.when(tot > 0, mx.cast("double") / tot).otherwise(F.lit(0.0)),
+            6)
+        return d.select("doc_id", lang_id(F.col("text")).alias("lang_id"),
+                        share.alias("confidence"))
+    q["lang_confidence"] = lang_confidence
+
     # ---- KMV distinct-count sketch (deterministic; exact cross-engine
     #      parity, unlike HLL) ----
     def kmv_distinct(spark, sf_dir):
@@ -2452,6 +2466,10 @@ def oracle_sql() -> dict[str, str]:
 
     from ocr_devnagari_spark.functions.splits import es_key_sql
     _es_sql = es_key_sql("doc_id", "q")
+
+    _lang_mx = "greatest(" + ", ".join(
+        _stop_cnt("text", lg) for lg in _STOP) + ")"
+    _lang_tot = " + ".join(_stop_cnt("text", lg) for lg in _STOP)
     t2 = f"({_SPIKED_SQL})"
     route = (f"CASE WHEN NOT ({_valid_sql('t2')}) "
              f"OR ({_conf_sql('t2')}) < 0.85 "
@@ -2735,6 +2753,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM e ASOF LEFT JOIN ticks k "
             "ON e.user_id = k.user_id AND e.t >= k.t"),
         "kmv_distinct": _kmv_sql,
+        "lang_confidence": (
+            f"SELECT doc_id, {_lang_id_expr('text')} AS lang_id, "
+            f"round(CASE WHEN ({_lang_tot}) > 0 THEN "
+            f"({_lang_mx}) * 1.0 / ({_lang_tot}) ELSE 0.0 END, 6) "
+            "AS confidence FROM documents"),
         "weighted_sample": (
             "SELECT doc_id, lang FROM ("
             f"SELECT doc_id, lang, {_es_sql} AS es FROM ("

@@ -435,3 +435,22 @@ def test_repetition_arrow_n1_empty_text_matches_jvm(spark):
     j = {r["doc_id"]: r["top1_frac"] for r in repetition_signals(
         df, top_ns=(1,), dup_ns=(), impl="jvm").collect()}
     assert a == j
+
+
+def test_lang_confidence_share(spark):
+    from ocr_devnagari_spark.functions.text import lang_id, lang_scores
+    rows = [(0, "the and of to in is that"),        # pure en -> 1.0
+            (1, "the der le el"),                   # 4-way split -> 0.25
+            (2, "zzz qqq")]                         # no hits -> 0.0
+    df = spark.createDataFrame(rows, "id long, text string")
+    scores = lang_scores(F.col("text"))
+    mx = F.greatest(*scores.values())
+    tot = sum(scores.values())
+    share = F.round(F.when(tot > 0, mx.cast("double") / tot)
+                    .otherwise(F.lit(0.0)), 6)
+    got = {r["id"]: (r["l"], r["s"]) for r in df.select(
+        "id", lang_id(F.col("text")).alias("l"),
+        share.alias("s")).collect()}
+    assert got[0] == ("en", 1.0)
+    assert got[1][1] == 0.25
+    assert got[2] == ("und", 0.0)
