@@ -1191,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- Gopher A1.1 repetition signals (within-doc n-gram stats) ----
     def repetition_gate(spark, sf_dir):
+        _ensure_shipped(spark)   # Arrow batch path imports the package
         from ocr_devnagari_spark.functions.repetition import (
             gopher_repetition_pass,
         )
@@ -1281,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- corpus curation composition: gates → dedup → split → mix ----
     def curate_report(spark, sf_dir):
+        _ensure_shipped(spark)   # repetition gate's Arrow path
         from ocr_devnagari_spark.plans.curation import curation_report
         d = _t(spark, sf_dir, "documents").select(
             "doc_id", "text",
@@ -1436,9 +1438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- WARC source + CDX index end-to-end (rows-only: the synthetic
     #      archive is deterministic; pytest owns the byte-level oracle)
     def _warc_fixture(spark, sf_dir):
-        import tempfile
-
-        from ocr_devnagari_spark.sources.warc import write_warc
+        # Cluster-safe fixture: written through the Hadoop FS API under
+        # the session warehouse (a shared store on a real cluster), so
+        # the executor-side binaryFile read sees the driver's bytes.
+        # Keyed by applicationId (same-session reruns overwrite their
+        # own file); stale siblings from dead sessions are GC'd after a
+        # day — nothing leaks per gate run.
+        from ocr_devnagari_spark.sources.warc import write_warc_fs
         d = _t(spark, sf_dir, "documents")
         rows = (d.filter(F.col("doc_id") < 20)
                 .select("doc_id", "text").orderBy("doc_id").collect())
@@ -1446,12 +1452,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "2024-03-01T00:00:00Z",
                  ("<html><body><p>" + r["text"] + "</p></body></html>"
                   ).encode(), "response") for r in rows]
-        path = os.path.join(tempfile.gettempdir(),
-                            f"ocrds_gate_{os.getpid()}.warc.gz")
-        write_warc(path, recs)
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        base = hpath(spark.conf.get("spark.sql.warehouse.dir"),
+                     "ocrds_gate_warc")
+        fs = base.getFileSystem(sc._jsc.hadoopConfiguration())
+        import time as _time
+        cutoff = int((_time.time() - 86400) * 1000)
+        app_id = sc.applicationId
+        if fs.exists(base):
+            for st in fs.listStatus(base):
+                name = st.getPath().getName()
+                if (name != f"{app_id}.warc.gz"
+                        and st.getModificationTime() < cutoff):
+                    fs.delete(st.getPath(), False)
+        path = hpath(base, f"{app_id}.warc.gz").toString()
+        write_warc_fs(spark, path, recs)
         return path
 
     def warc_roundtrip(spark, sf_dir):
+        _ensure_shipped(spark)   # record parsing runs in mapInPandas
         from ocr_devnagari_spark.sources.warc import read_warc_pages
         path = _warc_fixture(spark, sf_dir)
         pages = read_warc_pages(spark, path)
@@ -1459,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["warc_roundtrip"] = warc_roundtrip
 
     def warc_cdx(spark, sf_dir):
+        _ensure_shipped(spark)   # record parsing runs in mapInPandas
         from ocr_devnagari_spark.sources.warc import warc_cdx_index
         path = _warc_fixture(spark, sf_dir)
         return warc_cdx_index(spark, path).select(

@@ -33,8 +33,12 @@ engine under test, which is exactly what makes the parity check strong.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _as_numeric(df: DataFrame, col: str):
@@ -104,20 +108,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
 def range_join(points: DataFrame, intervals: DataFrame,
                v_col: str = "v", lo_col: str = "lo", hi_col: str = "hi",
-               bucket_width: float = 100.0) -> DataFrame:
+               bucket_width: float = 100.0,
+               max_buckets: int = 1024,
+               wide_limit: int = 1_000_000) -> DataFrame:
     """Inner containment join (``lo <= v <= hi``, inclusive both ends)
     via bucketed equi-join — returns all point columns + all interval
     columns.  ``bucket_width`` should be of the order of the typical
-    interval length (explode factor ≈ len/width + 1)."""
+    interval length (explode factor ≈ len/width + 1).
+
+    **Fan-out guard**: an interval spanning more than ``max_buckets``
+    buckets does NOT explode (one degenerate ``(0, 1e9)`` interval at
+    ``bucket_width=100`` would fan a single input row out to 10^7).
+    Wide intervals instead take a broadcast containment join — they are
+    few by construction when ``bucket_width`` is sized to the typical
+    interval, so the broadcast side stays small; ``wide_limit`` bounds
+    that assumption with a counted gate (raise = resize bucket_width,
+    never a silent cartesian).  Both paths are exact; the union is the
+    full inner join, each pair produced exactly once (an interval is
+    either wide or narrow, never both).
+    """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
+    lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
+    hi_b = F.floor(F.col(hi_col) / bucket_width).cast("long")
+    n_b = (hi_b - lo_b + F.lit(1))
+    narrow = intervals.filter(n_b <= max_buckets)
+    wide = intervals.filter(n_b > max_buckets)
+    contained = ((F.col(v_col) >= F.col(lo_col))
+                 & (F.col(v_col) <= F.col(hi_col)))
     pb = points.withColumn(
         "_b", F.floor(F.col(v_col) / bucket_width).cast("long"))
-    ib = intervals.withColumn(
-        "_b", F.explode(F.sequence(
-            F.floor(F.col(lo_col) / bucket_width).cast("long"),
-            F.floor(F.col(hi_col) / bucket_width).cast("long"))))
-    return (pb.join(ib, on="_b")
-            .filter((F.col(v_col) >= F.col(lo_col))
-                    & (F.col(v_col) <= F.col(hi_col)))
-            .drop("_b"))
+    ib = narrow.withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))
+    out = pb.join(ib, on="_b").filter(contained).drop("_b")
+    n_wide = wide.limit(wide_limit + 1).count()
+    if n_wide:
+        if n_wide > wide_limit:
+            raise ValueError(
+                f"range_join: >{wide_limit} intervals span more than "
+                f"{max_buckets} buckets at bucket_width={bucket_width}; "
+                "increase bucket_width (or max_buckets/wide_limit)")
+        log.info("range_join: %d wide interval(s) routed to the "
+                 "broadcast containment path", n_wide)
+        out = out.unionByName(
+            points.join(F.broadcast(wide), on=contained, how="inner"))
+    return out

@@ -48,11 +48,18 @@ def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
     Paragraphs are the raw ``split(text, sep)`` segments — NOT trimmed,
     empties kept — so reassembly with the same separator is lossless
     and the boilerplate match is exact-byte (the CCNet choice is a
-    hash of the *raw* paragraph too).
+    hash of the *raw* paragraph too).  ``sep`` is a LITERAL string:
+    ``F.split`` takes a Java regex, so it is escaped here (reassembly
+    via ``array_join`` and the DuckDB oracle both treat it literally —
+    an unescaped ``'|'`` or ``'.'`` would silently break the lossless
+    split/rejoin invariant).
     """
+    import re
+
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+        .alias("pos", "para"))
 
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -145,9 +152,12 @@ def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                       word_ngrams(F.col(eval_text_col), n)).alias("gram"))
                   .distinct())
     if broadcast_eval is None:
-        # persist across the gate count AND the join — otherwise the
-        # explode+distinct lineage executes twice
-        eval_grams = eval_grams.persist()
+        # counted gate WITHOUT persist: a persist here would leak cached
+        # blocks for the session lifetime (the returned DF is lazy, so
+        # there is no safe point to unpersist before the caller runs it).
+        # The eval set is small by definition, so re-running the
+        # explode+distinct lineage once more in the final join is the
+        # cheaper trade in a long-running pipeline.
         broadcast_eval = eval_grams.count() <= BROADCAST_GRAM_LIMIT
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)

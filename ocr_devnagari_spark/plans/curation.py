@@ -36,6 +36,10 @@ from ..functions.repetition import repetition_pass_expr
 from ..functions.splits import split_assign
 from ..functions.text import gopher_pass, token_count
 
+# host-pagerank tables under this row count broadcast onto the corpus
+# join; larger graphs (a real crawl has 10^8+ hosts) shuffle instead
+BROADCAST_HOST_LIMIT = 5_000_000
+
 
 def curate_docs(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", host_col: str = "host",
@@ -83,11 +87,21 @@ def authority_weighted_mix(docs: DataFrame, edges: DataFrame,
     """
     from ..functions.links import pagerank
     from ..functions.splits import WHEEL, hash_bucket
+    from ..operators.dedup import _materialize
 
     tiers = tiers or [(0.05, 1.0), (0.01, 0.5), (-1.0, 0.1)]
-    pr = pagerank(edges, iterations=iterations)
-    joined = docs.join(F.broadcast(pr.withColumnRenamed("host", "_h")),
-                       F.col(host_col) == F.col("_h"), "left")
+    # materialize: consumed twice (gate count + join), and the lineage
+    # is `iterations` chained joins — re-running it would double the
+    # whole pagerank computation
+    pr = _materialize(pagerank(edges, iterations=iterations)
+                      .withColumnRenamed("host", "_h"))
+    # counted broadcast gate (the keeper-map / eval-gram discipline): a
+    # real crawl's host table can run to hundreds of millions of rows —
+    # forcing the broadcast there would blow the driver; past the limit
+    # the join falls back to a shuffle hash join on the host key.
+    if pr.limit(BROADCAST_HOST_LIMIT + 1).count() <= BROADCAST_HOST_LIMIT:
+        pr = F.broadcast(pr)
+    joined = docs.join(pr, F.col(host_col) == F.col("_h"), "left")
     prv = F.coalesce(F.col("pr"), F.lit(0.0))
     tier = F.lit(len(tiers) - 1)
     rate = F.lit(int(round(tiers[-1][1] * WHEEL)))

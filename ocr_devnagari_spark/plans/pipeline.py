@@ -195,12 +195,17 @@ def mark_staged_duplicates(spark: SparkSession, out: IceboxTable,
     """
     from urllib.parse import unquote, urlparse
 
+    from ..operators.dedup import _materialize
+
     staged = spark.read.parquet(*files)
-    # materialize the keeper map once (eager localCheckpoint): it is
-    # consumed three times below (affected-file probe, broadcast-gate
-    # count, mark join), and each un-truncated consumer would re-run the
-    # full staged scan + fingerprint groupBy — the dominant planning cost
-    keepers = keeper_map(staged, prior).localCheckpoint(eager=True)
+    # materialize the keeper map once: it is consumed three times below
+    # (affected-file probe, broadcast-gate count, mark join), and each
+    # un-truncated consumer would re-run the full staged scan +
+    # fingerprint groupBy — the dominant planning cost.  _materialize
+    # picks reliable checkpoints when sc.setCheckpointDir is configured
+    # (cluster: survives executor loss) and localCheckpoint otherwise
+    # (local[N]: executor == driver JVM) — the dedup-module discipline.
+    keepers = _materialize(keeper_map(staged, prior))
     hits = (staged.select("fingerprint", "url")
             .withColumn("_file", F.input_file_name())
             .join(keepers, "fingerprint")

@@ -339,11 +339,10 @@ def crawl_diff(old: DataFrame, new: DataFrame,
 
 # -- test/demo helper ---------------------------------------------------------
 
-def write_warc(path: str, records: list, compress: bool | None = None
-               ) -> str:
-    """Write a minimal valid WARC file: ``records`` =
-    [(url, iso_ts, html_bytes, warc_type), ...]. Used by tests and the
-    corpus tooling; real crawls come from the crawler, not from here."""
+def warc_bytes(records: list, compress: bool = True) -> bytes:
+    """Serialize ``records`` = [(url, iso_ts, html_bytes, warc_type),
+    ...] to minimal valid WARC bytes (optionally gzip-compressed) —
+    the write target (local file, Hadoop FS stream) is the caller's."""
     out = io.BytesIO()
     for url, iso_ts, body, wtype in records:
         http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -356,10 +355,38 @@ def write_warc(path: str, records: list, compress: bool | None = None
                 f"\r\n").encode("latin-1")
         out.write(head + http + b"\r\n\r\n")
     data = out.getvalue()
+    return gzip.compress(data) if compress else data
+
+
+def write_warc(path: str, records: list, compress: bool | None = None
+               ) -> str:
+    """Write a minimal valid WARC file: ``records`` =
+    [(url, iso_ts, html_bytes, warc_type), ...]. Used by tests and the
+    corpus tooling; real crawls come from the crawler, not from here."""
     if compress is None:
         compress = path.endswith(".gz")
-    if compress:
-        data = gzip.compress(data)
     with open(path, "wb") as f:
-        f.write(data)
+        f.write(warc_bytes(records, compress=compress))
+    return path
+
+
+def write_warc_fs(spark: SparkSession, path: str, records: list,
+                  compress: bool | None = None) -> str:
+    """``write_warc`` through the Hadoop FileSystem API, so ``path`` may
+    live on whatever shared store the session resolves (HDFS/S3A/...);
+    executors reading the file via ``binaryFile`` then see the same
+    bytes the driver wrote — a plain ``open()`` on a real cluster would
+    land driver-local and break every executor-side read."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    data = warc_bytes(records, compress=compress)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(data))
+    finally:
+        stream.close()
     return path

@@ -40,7 +40,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 5)
+        # FULL precision — the driver's gate hashes exact values, so a
+        # 6th-decimal divergence that a round(v, 5) would forgive here
+        # WOULD fail there.  Queries must emit floats that are already
+        # deterministic cross-engine (explicit HALF_UP rounding on both
+        # sides, order-insensitive aggregates).
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:19]
     return v

@@ -160,6 +160,47 @@ def test_in_job_dedup_marks_cross_run_duplicates(spark, corpus_dir,
     assert marked.filter(F.col("duplicate_of").startswith("zzz-")).count() == 0
 
 
+def test_in_job_dedup_keeper_map_reliable_checkpoints(
+        spark, corpus_dir, work_root, tmp_path):
+    """With a checkpoint dir configured, the keeper-map materialization
+    inside mark_staged_duplicates rides RELIABLE checkpoints (shared
+    store — the mark phase survives executor loss on a real cluster,
+    the dedup-module `_materialize` discipline), and the marked output
+    is identical to the localCheckpoint path."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup_dir = str(tmp_path / "ckcorpus")
+    shutil.copytree(corpus_dir, dup_dir)
+    src = glob.glob(f"{dup_dir}/pages.parquet")[0]
+    t = pq.read_table(src)
+    clones = t.slice(0, 40).set_column(
+        0, "url", pa.array(["zzz-" + u for u in
+                            t.column("url").to_pylist()[:40]]))
+    pq.write_table(pa.concat_tables([t, clones]), src)
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        cfg = ExtractConfig(root_dir=work_root)
+        r = run_extract_job(spark, dup_dir, cfg, job_token="ck",
+                            dedup="exact")
+        assert r["dedup_marked"] >= 40
+        out = IceboxTable(cfg.extracted_table).read(spark)
+        assert out.filter(out.url.startswith("zzz-")
+                          & F.col("duplicate_of").isNull()).count() == 0
+        assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), \
+            "keeper map did not write reliable checkpoint data"
+    finally:
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
 def test_dedup_schema_stable_across_modes(spark, corpus_dir, work_root):
     """Mixed dedup / non-dedup commits must yield ONE schema: fingerprint
     and duplicate_of are always present (ADVICE: mergeSchema-free reads

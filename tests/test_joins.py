@@ -73,6 +73,36 @@ def test_range_join_matches_bruteforce(spark, width):
         range_join(pdf, idf, bucket_width=0)
 
 
+def test_range_join_wide_interval_guard(spark):
+    """A degenerate interval spanning far more than ``max_buckets``
+    buckets must NOT explode (the unguarded plan fans one row out to
+    len/width + 1 rows) — it routes through the broadcast containment
+    path, and the result is still the exact inner join."""
+    pts = [(i, float(i * 97 % 1000)) for i in range(60)]
+    ivs = [(0, 0.0, 1e9),                  # 10^7 buckets at width 100
+           (1, 100.0, 160.0), (2, 500.0, 505.0)]
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pdf, idf, bucket_width=100.0,
+                      max_buckets=64).collect()}
+    exp = {(pid, iid) for pid, v in pts for iid, lo, hi in ivs
+           if lo <= v <= hi}
+    assert got == exp and len(got) >= 60   # wide interval matches all
+
+
+def test_range_join_wide_limit_raises(spark):
+    """More wide intervals than ``wide_limit`` is a sizing bug — the
+    guard raises (asking for a bigger bucket_width) instead of silently
+    building an oversized broadcast."""
+    pdf = spark.createDataFrame([(0, 1.0)], "pid long, v double")
+    ivs = [(j, 0.0, 1e8) for j in range(5)]
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="span more than"):
+        range_join(pdf, idf, bucket_width=1.0, max_buckets=10,
+                   wide_limit=3)
+
+
 def test_range_join_is_equi_join_not_cartesian(spark):
     pdf = spark.createDataFrame([(0, 1.0)], "pid long, v double")
     idf = spark.createDataFrame([(0, 0.0, 2.0)],

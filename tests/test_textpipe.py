@@ -191,6 +191,25 @@ def test_paragraph_dedup_rejects_bad_mode(spark):
         paragraph_dedup(df, keep="last")
 
 
+def test_paragraph_sep_is_literal_not_regex(spark):
+    """F.split takes a Java regex, but ``sep`` is documented literal —
+    a regex-special separator ('|', '.') must still round-trip
+    losslessly (split escapes it; array_join uses it verbatim)."""
+    df = _pdf(spark, [
+        (0, "alpha|FOOT|beta"),
+        (1, "gamma|FOOT|delta"),
+    ])
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, max_docs=1, sep="|").collect()}
+    assert got[0]["text"] == "alpha|beta" and got[0]["n_removed"] == 1
+    assert got[1]["text"] == "gamma|delta"
+    # '.' as separator: unescaped it matches EVERY char (split → empties)
+    df2 = _pdf(spark, [(0, "a.b"), (1, "c.b")])
+    got2 = {r["doc_id"]: r["text"] for r in
+            paragraph_dedup(df2, max_docs=1, sep=".").collect()}
+    assert got2 == {0: "a", 1: "c"}
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
