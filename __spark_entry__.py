@@ -1629,7 +1629,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .join(losers, "doc_id", "left_anti"))
     q["neardup_prune"] = neardup_prune
 
-    return q
+    # ------------------------------------------------------------------
+    # Driver-gate window curation: the correctness driver checks only the
+    # FIRST ~50 registered queries per round, so registration order IS
+    # the round's evidence budget.  Round 4 gated the first 50 (r04 rows
+    # stand as evidence); round 5 rotates the 40 queries that have never
+    # had a driver row to the front, followed by 10 core reference-
+    # surface representatives re-checked every round, then the rest.
+    # Every name in the priority list must exist (guarded below) so a
+    # rename can't silently shrink the gate.
+    priority = [
+        # -- the 40 never-driver-checked (r04 window tail) --
+        "repetition_gate", "pii_scrub", "para_dedup", "para_dedup_first",
+        "decontaminate", "curate_report", "authority_mix", "blocklist_gate",
+        "normalize_docs", "compression_signal", "script_matrix",
+        "lang_confidence", "token_histogram", "domain_report", "url_spam",
+        "host_components", "anchor_terms", "split_counts", "det_sample",
+        "stratified_mix", "weighted_sample", "shard_manifest",
+        "kmv_distinct", "neardup_prune", "asof_events", "range_join_stats",
+        "events_cube", "events_rollup", "events_stats", "events_top_user",
+        "events_sessionize", "window_latest_order", "tpch_q5_region",
+        "multimodal_features", "multimodal_real_decode",
+        "multimodal_audio_decode", "warc_roundtrip", "warc_cdx",
+        "crawl_diff_report", "robots_sitemaps",
+        # -- 10 core reference-surface representatives (green in r04) --
+        "extract_wrapped", "p2_validate", "m6_critical", "m5_route_stats",
+        "a2_cost_summary", "j1_resume_antijoin", "j2_upsert_merge",
+        "o3_priority_topk", "dedup_minhash", "sim_cosine_topk",
+    ]
+    missing = [k for k in priority if k not in q]
+    assert not missing, f"gate-priority names not registered: {missing}"
+    return {**{k: q[k] for k in priority},
+            **{k: v for k, v in q.items() if k not in priority}}
 
 
 # ---------------------------------------------------------------------------
