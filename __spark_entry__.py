@@ -144,6 +144,24 @@ def _messy_url() -> F.Column:
                   F.concat(F.lit("https://example.com/a/./b/../"), sid))
             .otherwise(F.concat(F.lit("not a url "), sid)))
 
+def _psl_url() -> F.Column:
+    """Deterministic URLs exercising every PSL rule kind over doc_id:
+    second-level registries, wildcard, exception, default, no-host."""
+    sid = (F.col("doc_id") % 5).cast("string")
+    return (F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("https://site"), sid, F.lit(".co.uk/p")))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.concat(F.lit("https://sub.site"), sid,
+                           F.lit(".com.au/x")))
+            .when(F.col("doc_id") % 7 == 2,
+                  F.concat(F.lit("http://shop"), sid, F.lit(".example.com")))
+            .when(F.col("doc_id") % 7 == 3, F.lit("https://a.www.ck/"))
+            .when(F.col("doc_id") % 7 == 4,
+                  F.concat(F.lit("https://host"), sid, F.lit(".b.ck/y")))
+            .when(F.col("doc_id") % 7 == 5, F.lit("http://b.ck/"))
+            .otherwise(F.concat(F.lit("not a url "), sid)))
+
+
 def _synthetic_html() -> F.Column:
     """Deterministic HTML wrappers over doc_id: robots-noindex in both
     attribute orders, nofollow-only (must NOT gate), and plain pages."""
@@ -436,6 +454,20 @@ _MESSY_URL_SQL = (
     "ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END")
 
 
+_PSL_URL_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'https://site' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.co.uk/p' "
+    "WHEN doc_id % 7 = 1 THEN 'https://sub.site' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.com.au/x' "
+    "WHEN doc_id % 7 = 2 THEN 'http://shop' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.example.com' "
+    "WHEN doc_id % 7 = 3 THEN 'https://a.www.ck/' "
+    "WHEN doc_id % 7 = 4 THEN 'https://host' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.b.ck/y' "
+    "WHEN doc_id % 7 = 5 THEN 'http://b.ck/' "
+    "ELSE 'not a url ' || CAST(doc_id % 5 AS VARCHAR) END")
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -639,9 +671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonicalize"] = url_canonicalize
 
     def url_domain_stats(spark, sf_dir):
+        # PSL semantics on deterministic hosts that exercise every rule
+        # kind: second-level registries (a.co.uk ≠ b.co.uk grouping the
+        # last-two-labels heuristic gets wrong), wildcard (*.ck),
+        # exception (!www.ck), and the default rule.
         from ocr_devnagari_spark.functions.url import registrable_domain
         d = _t(spark, sf_dir, "documents")
-        return (d.select(registrable_domain(_messy_url()).alias("domain"))
+        return (d.select(registrable_domain(_psl_url()).alias("domain"))
                 .groupBy("domain").agg(F.count("*").alias("n_urls")))
     q["url_domain_stats"] = url_domain_stats
 
@@ -1652,10 +1688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features", "multimodal_real_decode",
         "multimodal_audio_decode", "warc_roundtrip", "warc_cdx",
         "crawl_diff_report", "robots_sitemaps",
-        # -- 10 core reference-surface representatives (green in r04) --
+        # -- upgraded this round (needs fresh driver evidence) --
+        "url_domain_stats",
+        # -- 9 core reference-surface representatives (green in r04) --
         "extract_wrapped", "p2_validate", "m6_critical", "m5_route_stats",
         "a2_cost_summary", "j1_resume_antijoin", "j2_upsert_merge",
-        "o3_priority_topk", "dedup_minhash", "sim_cosine_topk",
+        "dedup_minhash", "sim_cosine_topk",
     ]
     missing = [k for k in priority if k not in q]
     assert not missing, f"gate-priority names not registered: {missing}"
@@ -1817,6 +1855,17 @@ def _url_host_sql(u: str) -> str:
     auth = f"regexp_extract({u}, '{_sq(_U_AUTH)}', 1)"
     no_user = f"regexp_replace({auth}, '^[^@]*@', '')"
     return f"lower(regexp_replace({no_user}, ':\\d*$', ''))"
+
+
+def _psl_domain_stats_sql() -> str:
+    """url_domain_stats oracle: PSL registrable-domain grouping,
+    generated from the engine's own compiled PSL plan."""
+    from ocr_devnagari_spark.functions.url import psl_domain_sql
+    return ("SELECT " + psl_domain_sql("h") + " AS domain, "
+            "count(*) AS n_urls FROM "
+            f"(SELECT {_url_host_sql('u')} AS h FROM "
+            f"(SELECT doc_id, {_PSL_URL_SQL} AS u FROM documents)) "
+            "GROUP BY 1")
 
 
 def _percent_norm_sql(u: str) -> str:
@@ -2610,12 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": (
             f"SELECT doc_id, {_url_canon_sql('u')} AS canonical FROM "
             f"(SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents)"),
-        "url_domain_stats": (
-            f"SELECT regexp_extract({_url_host_sql('u')}, "
-            "'([^.]+\\.[^.]+)$', 1) AS domain, "
-            "count(*) AS n_urls FROM "
-            f"(SELECT doc_id, {_MESSY_URL_SQL} AS u FROM documents) "
-            "GROUP BY 1"),
+        "url_domain_stats": _psl_domain_stats_sql(),
         "dedup_exact": (
             f"SELECT md5(text) AS fingerprint, count(*) AS n_docs, "
             f"min(doc_id) AS keep_id FROM ({_DUPFUL_SQL}) "

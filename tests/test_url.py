@@ -60,6 +60,68 @@ def test_host_and_domain(spark):
     assert r.d == "example.com"
 
 
+PSL_PINS = [
+    # (host, registrable domain) — publicsuffix.org semantics
+    ("a.co.uk", "a.co.uk"),            # 2nd-level registry rule
+    ("b.co.uk", "b.co.uk"),            # a.co.uk ≠ b.co.uk (no collapse)
+    ("deep.sub.x.co.uk", "x.co.uk"),
+    ("shop.com.au", "shop.com.au"),
+    ("sub.example.com", "example.com"),   # default rule
+    ("example.com", "example.com"),
+    ("localhost", ""),                 # host IS (≤) a public suffix
+    ("co.uk", ""),
+    ("b.ck", ""),                      # wildcard *.ck: b.ck is a suffix
+    ("a.b.ck", "a.b.ck"),
+    ("www.ck", "www.ck"),              # exception !www.ck
+    ("a.www.ck", "www.ck"),
+    ("", ""),
+]
+
+
+def test_psl_rule_pins(spark):
+    """Fixed-expectation pins for every PSL rule kind (normal 2-label,
+    wildcard, exception, default) — NOT generated from psl_plan, so a
+    compiler bug can't hide."""
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p" if h else "no url")
+         for i, (h, _) in enumerate(PSL_PINS)], "i int, u string")
+    got = {r.i: r.d for r in df.select(
+        "i", registrable_domain(F.col("u")).alias("d")).collect()}
+    for i, (h, want) in enumerate(PSL_PINS):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_psl_join_form_matches_expression(spark):
+    """registrable_domains (broadcast suffix-table join, the full-PSL
+    cluster path) ≡ the compiled-in expression on the same hosts."""
+    from ocr_devnagari_spark.functions.url import registrable_domains
+
+    hosts = [h for h, _ in PSL_PINS if h] + [
+        "x.gov.br", "y.ac.jp", "a.b.c.org.uk", "onlytld"]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)],
+                               "i int, host string")
+    via_join = {r.i: r.domain
+                for r in registrable_domains(df).collect()}
+    via_expr = {r.i: r.d for r in df.select("i", registrable_domain(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/")))
+        .alias("d")).collect()}
+    assert via_join == via_expr
+
+
+def test_psl_custom_rules_parameterized(spark):
+    """The rules parameter swaps the snapshot for any PSL-format list
+    (full upstream file / test policies) — comment lines ignored."""
+    rules = ["// comment", "custom.zz", "*.wild", "!keep.wild"]
+    df = spark.createDataFrame(
+        [(0, "https://a.custom.zz/"), (1, "https://x.b.wild/"),
+         (2, "https://keep.wild/"), (3, "https://plain.example/")],
+        "i int, u string")
+    got = {r.i: r.d for r in df.select("i", registrable_domain(
+        F.col("u"), rules=rules).alias("d")).collect()}
+    assert got == {0: "a.custom.zz", 1: "x.b.wild", 2: "keep.wild",
+                   3: "plain.example"}
+
+
 @pytest.mark.parametrize("name", ["url_canonicalize", "url_domain_stats"])
 def test_url_oracle_agreement(spark, name):
     """Spark result ≡ the generated DuckDB oracle at sf0.01 (value-level,
