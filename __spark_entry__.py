@@ -1327,6 +1327,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curation_report(d)
     q["curate_report"] = curate_report
 
+    # ---- COMPLETE FineWeb-style curation: gates (gopher + repetition +
+    #      blocklist) → paragraph dedup → PII scrub → exact dedup → split
+    def curate_full_report(spark, sf_dir):
+        _ensure_shipped(spark)   # repetition gate's Arrow path
+        from ocr_devnagari_spark.plans.curation import curation_report
+        d = _t(spark, sf_dir, "documents")
+        spiked = (d.select("doc_id", "source", _pii_text().alias("text"))
+                  .select("doc_id", "source",
+                          _blockspike_text().alias("text")))
+        docs = spiked.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit("\nsubscribe to "),
+                     F.col("source"), F.lit(" updates"),
+                     F.lit("\ncopyright footer")).alias("text"),
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+            .alias("host"))
+        return curation_report(docs, blockterms=_BLOCKTERMS,
+                               pii_scrub=True, para_max_docs=1)
+    q["curate_full_report"] = curate_full_report
+
     # ---- robots Sitemap: discovery (global directive, RFC 9309 §2.3)
     def robots_sitemaps(spark, sf_dir):
         from ocr_devnagari_spark.functions.robots import sitemap_urls
@@ -1688,11 +1708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features", "multimodal_real_decode",
         "multimodal_audio_decode", "warc_roundtrip", "warc_cdx",
         "crawl_diff_report", "robots_sitemaps",
-        # -- upgraded this round (needs fresh driver evidence) --
-        "url_domain_stats",
-        # -- 9 core reference-surface representatives (green in r04) --
+        # -- new/upgraded this round (needs fresh driver evidence) --
+        "url_domain_stats", "curate_full_report",
+        # -- 8 core reference-surface representatives (green in r04) --
         "extract_wrapped", "p2_validate", "m6_critical", "m5_route_stats",
-        "a2_cost_summary", "j1_resume_antijoin", "j2_upsert_merge",
+        "a2_cost_summary", "j1_resume_antijoin",
         "dedup_minhash", "sim_cosine_topk",
     ]
     missing = [k for k in priority if k not in q]
@@ -2268,13 +2288,13 @@ def _a2_cost_sql() -> str:
             f"(SELECT doc_id, {t2} AS t2 FROM documents))")
 
 
-def _rep_ctes() -> list:
+def _rep_ctes(src: str = "documents") -> list:
     """Shared CTE list for the Gopher A1.1 repetition signals — word
     n-grams via the same array-domain construction as
     functions/repetition.py (list comprehension + slicing instead of
     Spark transform + slice)."""
     ctes = ["base AS (SELECT doc_id, length(text) AS total, "
-            "string_split(text, ' ') AS ws FROM documents)"]
+            f"string_split(text, ' ') AS ws FROM {src})"]
     for n in (2, 3, 5):
         ctes.append(
             f"c{n} AS (SELECT doc_id, total, gram, count(*) AS cnt FROM ("
@@ -2299,8 +2319,12 @@ _REP_PASS_EXPR = ("(coalesce(s2.top2_frac, 0) <= 0.20 AND "
                   "coalesce(s3.top3_frac, 0) <= 0.18 AND "
                   "coalesce(s5.dup5_frac, 0) <= 0.15)")
 
-_REP_JOINS = ("FROM documents d LEFT JOIN s2 USING (doc_id) "
-              "LEFT JOIN s3 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
+def _rep_joins(src: str = "documents") -> str:
+    return (f"FROM {src} d LEFT JOIN s2 USING (doc_id) "
+            "LEFT JOIN s3 USING (doc_id) LEFT JOIN s5 USING (doc_id)")
+
+
+_REP_JOINS = _rep_joins()
 
 
 def _rep_sql() -> str:
@@ -2338,6 +2362,62 @@ def _curate_sql() -> str:
         f"CAST(sum({toks}) AS BIGINT) AS total_tokens FROM ("
         "SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS h, text "
         "FROM ded) GROUP BY 1")
+
+
+def _curate_full_sql() -> str:
+    """Complete FineWeb-style curation oracle, ONE CTE statement
+    mirroring plans/curation.curate_docs with every optional stage on:
+    corpus fixture (PII + blocklist spikes + 3-paragraph pages) →
+    repetition + Gopher + blocklist gates on the ORIGINAL text →
+    paragraph dedup (boilerplate removal) rewrites → PII redaction
+    rewrites → exact dedup on the FINAL text → host split totals."""
+    from ocr_devnagari_spark.functions.pii import redact_pii_sql
+    from ocr_devnagari_spark.functions.splits import split_assign_sql
+    from ocr_devnagari_spark.functions.text import blocklist_pattern
+    blockpat = _sq(blocklist_pattern(_BLOCKTERMS))
+    toks = "len(regexp_extract_all(text, '\\S+'))"
+    return (
+        f"WITH p1 AS (SELECT doc_id, source, {_PII_TEXT_SQL} AS text "
+        "FROM documents), "
+        f"p2 AS (SELECT doc_id, source, {_BLOCKSPIKE_SQL} AS text "
+        "FROM p1), "
+        "corpus AS (SELECT doc_id, text || chr(10) || 'subscribe to ' "
+        "|| source || ' updates' || chr(10) || 'copyright footer' "
+        "AS text, 'h' || CAST(doc_id % 97 AS VARCHAR) AS h FROM p2), "
+        + ", ".join(_rep_ctes("corpus")) + ", "
+        "sigj AS (SELECT d.doc_id, d.text, d.h, " + _REP_PASS_EXPR
+        + " AS rep_pass " + _rep_joins("corpus") + "), "
+        f"gstat AS (SELECT doc_id, text, h, rep_pass, {toks} AS toks, "
+        "length(regexp_replace(text, '\\s+', '', 'g')) AS chars, "
+        "len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS syms "
+        "FROM sigj), "
+        "kept AS (SELECT doc_id, text, h FROM gstat WHERE rep_pass "
+        "AND toks BETWEEN 40 AND 100000 "
+        "AND (CASE WHEN toks > 0 THEN chars * 1.0 / toks ELSE 0.0 END) "
+        "BETWEEN 3.0 AND 10.0 "
+        "AND (CASE WHEN toks > 0 THEN syms * 1.0 / toks ELSE 1.0 END) "
+        "< 0.1 "
+        f"AND len(regexp_extract_all(lower(text), '{blockpat}')) = 0), "
+        "paras AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para FROM ("
+        "SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i "
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS ps "
+        "FROM kept))), "
+        "hotp AS (SELECT para FROM paras GROUP BY para "
+        "HAVING count(DISTINCT doc_id) > 1), "
+        "rebuilt AS (SELECT doc_id, coalesce(string_agg("
+        "CASE WHEN hp.para IS NULL THEN p.para END, chr(10) "
+        "ORDER BY p.pos), '') AS text FROM paras p "
+        "LEFT JOIN hotp hp USING (para) GROUP BY doc_id), "
+        "scrubbed AS (SELECT r.doc_id, "
+        + redact_pii_sql("r.text") + " AS text, k.h "
+        "FROM rebuilt r JOIN kept k USING (doc_id)), "
+        "ded AS (SELECT doc_id, text, h FROM (SELECT doc_id, text, h, "
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) "
+        "AS rn FROM scrubbed) WHERE rn = 1) "
+        f"SELECT {split_assign_sql('h')} AS split, "
+        "count(*) AS n_docs, "
+        f"CAST(sum({toks}) AS BIGINT) AS total_tokens "
+        "FROM ded GROUP BY 1")
 
 
 def _para_rows_sql() -> str:
@@ -2809,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {_norm_sql} AS norm FROM "
             f"(SELECT doc_id, {_UNNORM_TEXT_SQL} AS t FROM documents)"),
         "curate_report": _curate_sql(),
+        "curate_full_report": _curate_full_sql(),
         "robots_sitemaps": (
             "SELECT DISTINCT host, regexp_extract(line, "
             "'(?i)^sitemap\\s*:\\s*(\\S+)', 1) AS sitemap_url FROM ("

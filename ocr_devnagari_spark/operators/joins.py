@@ -54,7 +54,8 @@ def _as_numeric(df: DataFrame, col: str):
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list = "key", tolerance: float | None = None,
               right_cols: list | None = None,
-              suffix: str = "_r") -> DataFrame:
+              suffix: str = "_r",
+              bucket_width: float | None = None) -> DataFrame:
     """Backward inclusive as-of join; right payload columns arrive as
     ``<col><suffix>`` (``on`` itself as ``<on><suffix>``), NULL when no
     right row precedes (or the match is older than ``tolerance``).
@@ -68,6 +69,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     arbitrary row, so pre-aggregate ties away when mirroring one).
     Timestamp ``on`` columns are normalized to epoch-seconds DOUBLE
     (``<on><suffix>`` comes back numeric).
+
+    **Hot keys**: the default plan windows per key, so a single key's
+    rows land in ONE task (window partitions are not AQE-splittable).
+    Pass ``bucket_width`` (seconds) to pre-split hot keys by time
+    bucket: per-(key, bucket) right maxima reduce via map-side partial
+    aggregation, a tiny per-key window over BUCKETS (bounded by
+    time-range/width, not row count) computes each bucket's carry-in,
+    and the final window partitions by (key, bucket) — the worst task
+    now holds one bucket of one key.  Same semantics, property-tested
+    equal to the default plan.
     """
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [c for c in right.columns
@@ -90,12 +101,54 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # right rows sort BEFORE left rows at equal ts (_is_l asc) so a
     # quote AT the event time is visible — the inclusive rule; the
     # trailing _r key makes equal-(ts,side) right rows deterministic
-    w = (Window.partitionBy(*by)
-         .orderBy(F.col("_t"), F.col("_is_l"), F.col("_r"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = (r_tag.unionByName(l_tag)
-               .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-               .filter(F.col("_is_l") == 1))
+    tagged = r_tag.unionByName(l_tag)
+    if bucket_width is None:
+        w = (Window.partitionBy(*by)
+             .orderBy(F.col("_t"), F.col("_is_l"), F.col("_r"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = (tagged
+                   .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+                   .filter(F.col("_is_l") == 1))
+    else:
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be positive")
+        bkt = F.floor(F.col("_t") / bucket_width).cast("long")
+        tagged = tagged.withColumn("_bkt", bkt)
+        # per-(key, bucket) right maximum: because _r's FIRST field is
+        # _ts, max(struct) == the globally-last right row of the bucket
+        # under the (ts, payload) tie rule — one long per partial, the
+        # hot key reduces map-side
+        per_bkt = (tagged.filter(F.col("_is_l") == 0)
+                   .groupBy(*by, "_bkt")
+                   .agg(F.max("_r").alias("_bmax")))
+        # carry-in per bucket = running max over STRICTLY EARLIER
+        # buckets; this window's partitions hold one row per non-empty
+        # bucket (≤ time-range/width), never per input row
+        wb = (Window.partitionBy(*by).orderBy(F.col("_bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+        # synthetic right row seeding each bucket: NULL _t sorts FIRST
+        # (Spark asc = nulls first) so the carry precedes every real row
+        # of its bucket, whatever the on-column's numeric type; it
+        # carries the running max over STRICTLY EARLIER buckets.  Seeds
+        # come from ALL (key, bucket) pairs (both sides), because a
+        # left-only bucket needs its carry-in too.
+        all_bkts = tagged.select(*by, "_bkt").distinct()
+        seeds = (all_bkts.join(per_bkt, on=by + ["_bkt"], how="left")
+                 .withColumn("_carry", F.max(F.col("_bmax")).over(wb))
+                 .filter(F.col("_carry").isNotNull())
+                 .select(*by, "_bkt",
+                         F.lit(None).cast(
+                             tagged.schema["_t"].dataType).alias("_t"),
+                         F.lit(-1).alias("_is_l"),
+                         F.col("_carry").alias("_r"),
+                         F.lit(None).cast(
+                             r_tag.schema["_l"].dataType).alias("_l")))
+        w = (Window.partitionBy(*by, "_bkt")
+             .orderBy(F.col("_t"), F.col("_is_l"), F.col("_r"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = (tagged.unionByName(seeds)
+                   .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+                   .filter(F.col("_is_l") == 1))
     ok = F.col("_m").isNotNull()
     if tolerance is not None:
         ok = ok & ((F.col("_t") - F.col("_m._ts")) <= tolerance)

@@ -45,16 +45,50 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", host_col: str = "host",
                 weights: dict[str, float] | None = None,
                 min_words: int = 40,
-                repetition_impl: str = "arrow") -> DataFrame:
+                repetition_impl: str = "arrow",
+                blockterms: list[str] | None = None,
+                pii_scrub: bool = False,
+                para_max_docs: int | None = None) -> DataFrame:
     """Per-document curation verdicts: gated, deduped, split-assigned.
 
     Returns ``(id_col, split, n_tokens)`` for the SURVIVING documents
     only.  ``df`` must carry ``host_col`` (the leakage unit for the
-    split)."""
+    split).
+
+    Optional stages complete the FineWeb/CCNet-style recipe, in the
+    published order:
+
+    1. Gates on the ORIGINAL text — Gopher quality, repetition, and
+       (with ``blockterms``) the C4 blocklist.
+    2. ``para_max_docs``: corpus-wide paragraph dedup (boilerplate
+       removal) REWRITES the surviving text.
+    3. ``pii_scrub``: PII redaction rewrites it again.
+    4. Exact dedup runs on the FINAL text (post-rewrite — stripping
+       boilerplate can make near-duplicate pages identical, which is
+       exactly when dedup should catch them), lowest-id keeper.
+    5. Host split + token count of the final text.
+
+    Everything except the optional paragraph stage stays one Catalyst
+    plan; the paragraph stage adds the explode→count→join-back pair of
+    keyed shuffles documented in operators/paragraphs.py.
+    """
     text = F.col(text_col)
-    gated = df.filter(gopher_pass(text, min_words=min_words)
-                      & repetition_pass_expr(text,
-                                             impl=repetition_impl))
+    gate = (gopher_pass(text, min_words=min_words)
+            & repetition_pass_expr(text, impl=repetition_impl))
+    if blockterms:
+        from ..functions.text import blocklist_pass
+        gate = gate & blocklist_pass(text, blockterms)
+    gated = df.filter(gate)
+    if para_max_docs is not None:
+        from ..operators.paragraphs import paragraph_dedup
+        rewritten = paragraph_dedup(
+            gated.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, max_docs=para_max_docs)
+        gated = rewritten.select(id_col, text_col).join(
+            gated.select(id_col, host_col), on=id_col)
+    if pii_scrub:
+        from ..functions.pii import redact_pii
+        gated = gated.withColumn(text_col, redact_pii(text))
     w = Window.partitionBy(F.md5(text)).orderBy(F.col(id_col))
     deduped = (gated
                .withColumn("_rn", F.row_number().over(w))
@@ -122,13 +156,19 @@ def curation_report(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", host_col: str = "host",
                     weights: dict[str, float] | None = None,
                     min_words: int = 40,
-                    repetition_impl: str = "arrow") -> DataFrame:
+                    repetition_impl: str = "arrow",
+                    blockterms: list[str] | None = None,
+                    pii_scrub: bool = False,
+                    para_max_docs: int | None = None) -> DataFrame:
     """(split, n_docs, total_tokens) over the curated corpus — the
-    training-mix summary a corpus build publishes."""
+    training-mix summary a corpus build publishes.  Optional-stage
+    parameters are forwarded to :func:`curate_docs`."""
     return (curate_docs(df, id_col=id_col, text_col=text_col,
                         host_col=host_col, weights=weights,
                         min_words=min_words,
-                        repetition_impl=repetition_impl)
+                        repetition_impl=repetition_impl,
+                        blockterms=blockterms, pii_scrub=pii_scrub,
+                        para_max_docs=para_max_docs)
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))

@@ -50,6 +50,37 @@ def test_curation_report_totals(spark):
         len(GOOD.split()) * 2 + 2      # doc4 adds "trailing difference"
 
 
+def test_curate_docs_full_recipe_stages(spark):
+    """Every optional stage has observable effect: blocklist gates a doc
+    the base gates pass; paragraph dedup strips cross-doc boilerplate
+    (making two near-dup docs IDENTICAL, caught by the later exact
+    dedup); PII scrub redacts before token counting."""
+    footer = "copyright footer boilerplate"
+    rows = [
+        (0, GOOD + "\n" + footer, "a.com"),
+        (1, GOOD + " mail me at bob@x.com today\n" + footer, "a.com"),
+        # identical to 0 AFTER footer strip → exact-dedup casualty
+        (2, GOOD + "\n" + footer, "b.com"),
+        (3, GOOD + " but badword appears\n" + footer, "c.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "host string")
+    out = {r["doc_id"]: r for r in curate_docs(
+        df, blockterms=["badword"], pii_scrub=True,
+        para_max_docs=1).collect()}
+    # 3 blocklist-gated; docs 0 and 2 are all-boilerplate (their shared
+    # body paragraph is itself cross-doc hot) → both strip to '', the
+    # exact-dedup stage keeps the lowest id of the empty pair
+    assert set(out) == {0, 1}
+    assert out[0]["n_tokens"] == 0
+    # doc 1's unique body survives, footer stripped, email → ONE token
+    assert out[1]["n_tokens"] == len(GOOD.split()) + 5
+    # without the optional stages only the base exact-dedup fires
+    # (docs 0/2 share the identical FULL text): 3 survive, badword
+    # and PII untouched
+    assert len(curate_docs(df).collect()) == 3
+
+
 def test_curation_dedup_keeps_lowest_id(spark):
     df = spark.createDataFrame(
         [(7, GOOD, "x.com"), (3, GOOD, "y.com")],

@@ -58,6 +58,40 @@ def test_asof_preserves_left_rowcount_and_duplicates(spark):
     assert len(got) == 2 and all(r["p_r"] == 7 for r in got)
 
 
+@pytest.mark.parametrize("width", [7.0, 100.0, 10000.0])
+def test_asof_bucketed_equals_default_plan(spark, width):
+    """The hot-key pre-carry plan (bucket_width set) must be value-equal
+    to the single-window plan on a skewed input — one key holds 90% of
+    the rows, with cross-bucket carries, ties, and left-only buckets."""
+    left = [(1, float(i * 13 % 997), i) for i in range(180)] + \
+           [(2, float(i * 7), 1000 + i) for i in range(20)]
+    right = [(1, float(i * 29 % 811), i) for i in range(90)] + \
+            [(1, 100.0, 900), (1, 100.0, 901)] + \
+            [(2, 35.0, 950)]
+    ldf = spark.createDataFrame(left, "k long, ts double, x long")
+    rdf = spark.createDataFrame(right, "k long, ts double, p long")
+    base = {(r["k"], r["ts"], r["x"]): (r["ts_r"], r["p_r"]) for r in
+            asof_join(ldf, rdf, on="ts", by="k").collect()}
+    for tol in (None, 50.0):
+        got = {(r["k"], r["ts"], r["x"]): (r["ts_r"], r["p_r"]) for r in
+               asof_join(ldf, rdf, on="ts", by="k", tolerance=tol,
+                         bucket_width=width).collect()}
+        want = base if tol is None else {
+            k: (v if v[0] is not None and k[1] - v[0] <= tol
+                else (None, None)) for k, v in base.items()}
+        assert got == want
+
+
+def test_asof_bucketed_window_partitions_by_bucket(spark):
+    """Plan assertion: the final window's partition spec includes the
+    time bucket, so no single task ever holds a full hot key."""
+    ldf = spark.createDataFrame([(1, 10.0, 0)], "k long, ts double, x long")
+    rdf = spark.createDataFrame([(1, 5.0, 7)], "k long, ts double, p long")
+    plan = (asof_join(ldf, rdf, on="ts", by="k", bucket_width=100.0)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "_bkt" in plan.split("Window")[1][:400], plan
+
+
 @pytest.mark.parametrize("width", [3.0, 50.0, 1000.0])
 def test_range_join_matches_bruteforce(spark, width):
     pts = [(i, float((i * 37) % 500)) for i in range(80)]
