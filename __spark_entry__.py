@@ -1161,14 +1161,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             import pandas as pd
 
             from ocr_devnagari_spark.codecs import encode_png
-            from ocr_devnagari_spark.jpegcodec import encode_jpeg
+            from ocr_devnagari_spark.jpegcodec import (
+                encode_jpeg,
+                encode_jpeg_progressive,
+            )
             for pdf in batches:
                 recs = []
                 for did, text in zip(pdf["doc_id"], pdf["text"]):
                     raw = (text or "").encode()[:64].ljust(64, b"\0")
                     px = [(v,) for v in raw]
-                    if did % 2:                   # half the corpus is JPEG
+                    if did % 3 == 1:              # a third baseline JPEG
                         payload = encode_jpeg(px, 8, 8, 1, quant=1)
+                        mime = "image/jpeg"
+                    elif did % 3 == 2:            # a third progressive
+                        payload = encode_jpeg_progressive(px, 8, 8, 1,
+                                                          quant=1)
                         mime = "image/jpeg"
                     else:
                         payload = encode_png(px, 8, 8, 1)

@@ -3,10 +3,10 @@ stages on formats the standard library can handle.
 
 This container ships no PIL/ffmpeg, but that does not make every decode
 fake: PNG is zlib + per-scanline filters (both stdlib), WAV is the
-``wave`` module, and baseline JPEG is the from-scratch ITU T.81 decoder
-in ``jpegcodec.py``. These give ``image_feature_stage``/
-``audio_feature_stage`` genuine codecs for the dominant web formats;
-video (and exotic JPEG modes — progressive, arithmetic) still
+``wave`` module, and JPEG is the from-scratch ITU T.81 decoder in
+``jpegcodec.py`` (baseline AND progressive). These give
+``image_feature_stage``/``audio_feature_stage`` genuine codecs for the
+dominant web formats; video (and arithmetic-coded JPEG) still
 NULL-fallback at the clearly-marked plug-in point.
 
 Everything here is per-row pure Python BY DESIGN: it runs inside the
@@ -190,7 +190,7 @@ def image_features(payload: bytes, n_features: int = 16) -> dict:
     standard aHash construction: block-mean downsample, bit =
     mean-of-block > global mean), and an ``n_features``-bin normalized
     grayscale histogram. Raises ``UnsupportedMediaError`` for other
-    formats (progressive JPEG, video containers, …)."""
+    formats (arithmetic-coded JPEG, video containers, …)."""
     if payload[:2] == b"\xFF\xD8":
         from .jpegcodec import decode_jpeg
         img = decode_jpeg(payload)

@@ -3,12 +3,14 @@ pure stdlib + numpy — closes the engine's last env-blocked media format:
 web images are overwhelmingly JPEG, and ``image_feature_stage(fake=
 False)`` previously NULL-fell-back on all of them.
 
-Decoder subset (the "baseline sequential DCT, Huffman" process every
-web JPEG supports): SOF0, 8-bit samples, 1 or 3 components, any h/v
+Decoder subset: the "baseline sequential DCT, Huffman" process every
+web JPEG supports — SOF0, 8-bit samples, 1 or 3 components, any h/v
 sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0 …), restart intervals,
-0xFF00 byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit and
+0xFF00 byte stuffing — PLUS progressive DCT (SOF2, T.81 Annex G.2):
+spectral selection, successive approximation, interleaved DC scans,
+EOB runs, and AC/DC refinement scans. Arithmetic coding, 12-bit and
 hierarchical modes raise ``UnsupportedMediaError`` — the mapInPandas
-callers NULL-fallback on that one type, same contract as the PNG codec.
+callers NULL-fallback on those, same contract as the PNG codec.
 
 Encoder subset (tests + corpus tooling, mirroring ``encode_png``):
 grayscale or 4:4:4 YCbCr, one scan, Annex-K standard Huffman tables,
@@ -196,11 +198,17 @@ def _decode(data: bytes, max_pixels: int) -> dict:
     huff_ac: dict = {}
     restart_interval = 0
     frame = None
-    while pos + 4 <= len(data):
+    prog = None                                    # progressive state
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedMediaError("marker sync lost")
         marker = data[pos + 1]
+        if marker == 0xFF:                         # fill byte (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:                         # EOI
+            break
+        if pos + 4 > len(data):
             break
         seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         seg = data[pos + 4:pos + 2 + seg_len]
@@ -229,7 +237,7 @@ def _decode(data: bytes, max_pixels: int) -> dict:
                 i += 17 + nv
                 tbl = _build_decode_table(bits, values)
                 (huff_ac if cls else huff_dc)[tid] = tbl
-        elif marker == 0xC0 or marker == 0xC1:     # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):         # SOF0/1 (seq), SOF2 (prog)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3):
                 raise UnsupportedMediaError(
@@ -243,11 +251,15 @@ def _decode(data: bytes, max_pixels: int) -> dict:
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                prog = _prog_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"JPEG subset: baseline sequential only (SOF{marker - 0xC0})")
+                f"JPEG subset: sequential or progressive Huffman only "
+                f"(SOF{marker - 0xC0})")
         elif marker == 0xDD:                       # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                       # SOS → entropy data
@@ -255,12 +267,21 @@ def _decode(data: bytes, max_pixels: int) -> dict:
                 raise UnsupportedMediaError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for si in range(ns):
                 cs, tables = seg[1 + 2 * si:3 + 2 * si]
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(data, pos, frame, scan, qt, huff_dc,
-                                huff_ac, restart_interval)
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(data, pos, frame, scan, qt, huff_dc,
+                                    huff_ac, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            pos = _prog_scan(data, pos, frame, prog, order, scan,
+                             huff_dc, huff_ac, restart_interval,
+                             ss, se, ahal >> 4, ahal & 0x0F)
         # APPn/COM/DNL etc.: skipped
+    if frame is not None and frame.get("progressive") and prog["scans"]:
+        return _prog_assemble(frame, prog, qt)
     raise UnsupportedMediaError("no SOS scan found")
 
 
@@ -400,6 +421,234 @@ def _huff(reader: _BitReader, table: dict) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G.2 — successive approximation +
+# spectral selection; bit-level semantics follow the spec's F.2/G.1
+# flowcharts, the same ones libjpeg's phuff codec implements)
+# ---------------------------------------------------------------------------
+
+def _prog_init(frame: dict) -> dict:
+    """Per-component coefficient planes (zigzag index order, int64 —
+    refinement is BIT arithmetic) on the MCU-padded block grid, plus
+    the actual (unpadded) grids non-interleaved scans iterate."""
+    comps = frame["comps"]
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise UnsupportedMediaError("JPEG subset: sampling factors 1-2")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    st = {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax,
+          "coefs": [], "grids": [], "scans": 0}
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        st["coefs"].append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64))
+        st["grids"].append((-(-cw // 8), -(-ch // 8)))
+    return st
+
+
+def _prog_scan(data: bytes, pos: int, frame: dict, prog: dict,
+               order: list, scan: dict, huff_dc: dict, huff_ac: dict,
+               ri: int, ss: int, se: int, ah: int, al: int) -> int:
+    """Decode ONE progressive scan into the coefficient planes; returns
+    the offset of the next marker after the scan's entropy data."""
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    prog["scans"] += 1
+    if ss == 0:                                    # DC scan
+        if se != 0:
+            raise UnsupportedMediaError("DC scan with Se != 0")
+        preds = {cid: 0 for cid in order}
+        if len(order) > 1:                         # interleaved, MCU order
+            mcux, mcuy = prog["mcux"], prog["mcuy"]
+            for mi in range(mcux * mcuy):
+                if ri and mi and mi % ri == 0:
+                    reader.align_to_restart()
+                    preds = {cid: 0 for cid in order}
+                my, mx = divmod(mi, mcux)
+                for cid in order:
+                    ci = idx[cid]
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = prog["coefs"][ci][my * c["v"] + by,
+                                                    mx * c["h"] + bx]
+                            preds[cid] = _prog_dc_block(
+                                reader, blk, huff_dc.get(scan[cid][0]),
+                                preds[cid], ah, al)
+        else:                                      # single comp: raster
+            cid = order[0]
+            ci = idx[cid]
+            abx, aby = prog["grids"][ci]
+            for bi in range(abx * aby):
+                if ri and bi and bi % ri == 0:
+                    reader.align_to_restart()
+                    preds[cid] = 0
+                blk = prog["coefs"][ci][bi // abx, bi % abx]
+                preds[cid] = _prog_dc_block(
+                    reader, blk, huff_dc.get(scan[cid][0]), preds[cid],
+                    ah, al)
+    else:                                          # AC scan: ns must be 1
+        if len(order) != 1:
+            raise UnsupportedMediaError("interleaved AC scan")
+        cid = order[0]
+        ci = idx[cid]
+        tbl = huff_ac.get(scan[cid][1])
+        abx, aby = prog["grids"][ci]
+        eobrun = 0
+        for bi in range(abx * aby):
+            if ri and bi and bi % ri == 0:
+                reader.align_to_restart()
+                eobrun = 0
+            blk = prog["coefs"][ci][bi // abx, bi % abx]
+            if ah == 0:
+                eobrun = _prog_ac_first(reader, blk, tbl, ss, se, al,
+                                        eobrun)
+            else:
+                eobrun = _prog_ac_refine(reader, blk, tbl, ss, se, al,
+                                         eobrun)
+    # past the scan's entropy bytes (pad bits / RSTn) to the next marker
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and \
+                not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_dc_block(reader: _BitReader, blk: np.ndarray, tbl: dict,
+                   pred: int, ah: int, al: int) -> int:
+    if ah == 0:                                    # first pass: coded diffs
+        if tbl is None:
+            raise UnsupportedMediaError("missing DC huffman table")
+        t = _huff(reader, tbl)
+        pred += _extend(reader.bits(t), t) if t else 0
+        blk[0] = pred << al
+    elif reader.bit():                             # refinement: one bit
+        blk[0] = int(blk[0]) | (1 << al)
+    return pred
+
+
+def _prog_ac_first(reader: _BitReader, blk: np.ndarray, tbl: dict,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    if tbl is None:
+        raise UnsupportedMediaError("missing AC huffman table")
+    k = ss
+    while k <= se:
+        rs = _huff(reader, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:                             # EOBn: run of EOBs
+                return (1 << r) - 1 + (reader.bits(r) if r else 0)
+            k += 16                                # ZRL
+            continue
+        k += r
+        if k > se:
+            raise UnsupportedMediaError("AC run past band end")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader: _BitReader, blk: np.ndarray, tbl: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """G.1.2.3 AC successive-approximation refinement: correction bits
+    for already-nonzero coefficients are interleaved IN WALK ORDER with
+    the newly-significant insertions; an EOB run still consumes the
+    correction bits of every nonzero coefficient in the covered band
+    tails."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        if tbl is None:
+            raise UnsupportedMediaError("missing AC huffman table")
+        while k <= se:
+            rs = _huff(reader, tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): skip 16 ZERO-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise UnsupportedMediaError(
+                        "refinement symbol with s > 1")
+                val = p1 if reader.bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                             # band tail corrections
+            v = int(blk[k])
+            if v != 0 and reader.bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_assemble(frame: dict, prog: dict, qt: dict) -> dict:
+    """All scans consumed (EOI): dequantize + IDCT every block, then the
+    same upsample / color-convert tail as the sequential path."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    planes = []
+    for ci, c in enumerate(comps):
+        coefs = prog["coefs"][ci]
+        q = qt[c["tq"]]
+        pby, pbx = coefs.shape[:2]
+        plane = np.zeros((pby * 8, pbx * 8))
+        for by in range(pby):
+            for bx in range(pbx):
+                zz = np.zeros(64)
+                blk = coefs[by, bx]
+                for z in range(64):
+                    zz[ZIGZAG[z]] = blk[z]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(zz.reshape(8, 8) * q) + 128.0
+        planes.append(plane)
+    if len(comps) == 1:
+        gray = np.clip(np.rint(planes[0][:h, :w]), 0,
+                       255).astype(np.uint8)
+        return {"width": w, "height": h, "channels": 1,
+                "pixels": [(int(v),) for v in gray.reshape(-1)]}
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                  255).astype(np.uint8).reshape(-1, 3)
+    return {"width": w, "height": h, "channels": 3,
+            "pixels": [tuple(int(v) for v in px) for px in rgb]}
+
+
+# ---------------------------------------------------------------------------
 # Encoder (grayscale / 4:4:4, std Huffman, flat quant)
 # ---------------------------------------------------------------------------
 
@@ -536,5 +785,180 @@ def encode_jpeg(pixels: list, width: int, height: int,
     sos += b"\x00\x3F\x00"
     out += seg(0xDA, sos)
     out += body
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture + corpus tooling; G.2 with per-block EOB
+# flushes — a valid, slightly-less-compact bitstream that keeps the
+# encoder free of cross-block correction-bit buffering)
+# ---------------------------------------------------------------------------
+
+def _enc_ac_first(wr: _BitWriter, blk: np.ndarray, ac_tbl: dict,
+                  ss: int, se: int, al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al                           # AC point transform is
+        if t == 0:                                 # sign-magnitude (G.1.2.2)
+            r += 1
+            continue
+        while r > 15:
+            wr.write(*ac_tbl[0xF0])                # ZRL
+            r -= 16
+        s = t.bit_length()
+        wr.write(*ac_tbl[(r << 4) | s])
+        mag = t if v >= 0 else -t
+        wr.write(mag if mag >= 0 else mag + (1 << s) - 1, s)
+        r = 0
+    if r:
+        wr.write(*ac_tbl[0x00])                    # EOB (run of 1)
+
+
+def _enc_ac_refine(wr: _BitWriter, blk: np.ndarray, ac_tbl: dict,
+                   ss: int, se: int, al: int) -> None:
+    """Mirror of _prog_ac_refine: correction bits buffer until the next
+    emitted symbol and flush right after it, which IS walk order —
+    the ZRL-at-every-nonzero structure keeps the invariant that every
+    buffered bit's coefficient is crossed within that symbol's walk."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            wr.write(*ac_tbl[0xF0])
+            r -= 16
+            for b in br:
+                wr.write(b, 1)
+            br = []
+        if t > 1:                                  # history: correction bit
+            br.append(t & 1)
+            continue
+        wr.write(*ac_tbl[(r << 4) | 1])            # newly significant
+        wr.write(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            wr.write(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        wr.write(*ac_tbl[0x00])                    # EOB, then band-tail bits
+        for b in br:
+            wr.write(b, 1)
+
+
+def encode_jpeg_progressive(pixels: list, width: int, height: int,
+                            channels: int = 1, quant: int = 1) -> bytes:
+    """Progressive (SOF2) encoder: grayscale or 4:4:4, six-stage scan
+    script exercising every Annex-G mechanism the decoder implements —
+    interleaved DC first (Al=1), DC refinement, per-component AC first
+    over two spectral bands (Al=1), then AC refinement of both bands
+    (Al=0).  Same pixel/quant contract as ``encode_jpeg``."""
+    if channels not in (1, 3):
+        raise ValueError("encoder subset: grayscale or RGB")
+    arr = np.array([list(px) for px in pixels],
+                   dtype=np.float64).reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [arr[..., 0]]
+    qtab = np.full((8, 8), float(quant))
+    qzz = bytes(int(quant) & 0xFF for _ in range(64))
+    dc_t = [_build_encode_table(*_STD_DC_LUMA)] + \
+        [_build_encode_table(*_STD_DC_CHROMA)] * (channels - 1)
+    ac_t = [_build_encode_table(*_STD_AC_LUMA)] + \
+        [_build_encode_table(*_STD_AC_CHROMA)] * (channels - 1)
+    bw, bh = -(-width // 8), -(-height // 8)
+    blocks: list[list[np.ndarray]] = [[] for _ in range(channels)]
+    for my in range(bh):
+        for mx in range(bw):
+            for ci, plane in enumerate(planes):
+                y0, x0 = my * 8, mx * 8
+                tile = plane[y0:y0 + 8, x0:x0 + 8]
+                block = np.zeros((8, 8))
+                block[:tile.shape[0], :tile.shape[1]] = tile
+                for yy in range(tile.shape[0], 8):
+                    block[yy, :] = block[tile.shape[0] - 1, :]
+                for xx in range(tile.shape[1], 8):
+                    block[:, xx] = block[:, tile.shape[1] - 1]
+                coefs = np.rint(_fdct2(block - 128.0) / qtab)
+                blocks[ci].append(np.array(
+                    [coefs.reshape(-1)[ZIGZAG[z]] for z in range(64)],
+                    dtype=np.int64))
+
+    def sos_seg(cis: list, ss: int, se: int, ah: int, al: int,
+                body: bytes) -> bytes:
+        p = bytes([len(cis)])
+        for ci in cis:
+            p += bytes([ci + 1,
+                        0x00 if ci == 0 else 0x11])
+        p += bytes([ss, se, (ah << 4) | al])
+        return struct.pack(">BBH", 0xFF, 0xDA, len(p) + 2) + p + body
+
+    scans = []
+    # 1. DC first, interleaved, Al=1 (point transform = arithmetic shift)
+    wr = _BitWriter()
+    preds = [0] * channels
+    for bi in range(bw * bh):
+        for ci in range(channels):
+            dc = int(blocks[ci][bi][0]) >> 1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            t = _category(diff)
+            wr.write(*dc_t[ci][t])
+            if t:
+                wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans.append(sos_seg(list(range(channels)), 0, 0, 0, 1, wr.flush()))
+    # 2. DC refinement: bit 0 of every DC, same interleaved order
+    wr = _BitWriter()
+    for bi in range(bw * bh):
+        for ci in range(channels):
+            wr.write(int(blocks[ci][bi][0]) & 1, 1)
+    scans.append(sos_seg(list(range(channels)), 0, 0, 1, 0, wr.flush()))
+    # 3-4. AC first per component, two spectral bands, Al=1
+    for ci in range(channels):
+        for ss, se in ((1, 5), (6, 63)):
+            wr = _BitWriter()
+            for bi in range(bw * bh):
+                _enc_ac_first(wr, blocks[ci][bi], ac_t[ci], ss, se, 1)
+            scans.append(sos_seg([ci], ss, se, 0, 1, wr.flush()))
+    # 5-6. AC refinement of the same bands down to Al=0
+    for ci in range(channels):
+        for ss, se in ((1, 5), (6, 63)):
+            wr = _BitWriter()
+            for bi in range(bw * bh):
+                _enc_ac_refine(wr, blocks[ci][bi], ac_t[ci], ss, se, 0)
+            scans.append(sos_seg([ci], ss, se, 1, 0, wr.flush()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xDB, b"\x00" + qzz)
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + qzz)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    for cls, tid, (bits, vals) in (
+            (0, 0, _STD_DC_LUMA), (1, 0, _STD_AC_LUMA),
+            (0, 1, _STD_DC_CHROMA), (1, 1, _STD_AC_CHROMA))[
+                :4 if channels == 3 else 2]:
+        out += seg(0xC4, bytes([cls << 4 | tid]) + bytes(bits)
+                   + bytes(vals))
+    for s in scans:
+        out += s
     out += b"\xFF\xD9"
     return bytes(out)

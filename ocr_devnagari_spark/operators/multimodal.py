@@ -3,10 +3,10 @@
 The Spark-side contract is fully real — schemas, Arrow batch shapes,
 partitioning, the ``mapInPandas`` stage signatures — and so are the
 codecs: ``fake=False`` decodes PNG (zlib + scanline filters,
-``codecs.decode_png``), baseline JPEG (from-scratch ITU T.81,
-``jpegcodec.decode_jpeg``) and WAV (``wave``) for real dimensions /
-aHash / histogram / RMS features. Formats that genuinely need external
-libs (video containers, progressive JPEG) yield NULL feature columns
+``codecs.decode_png``), baseline + progressive JPEG (from-scratch ITU
+T.81, ``jpegcodec.decode_jpeg``) and WAV (``wave``) for real
+dimensions / aHash / histogram / RMS features. Formats that genuinely
+need external libs (video containers) yield NULL feature columns
 with a real ``n_bytes`` — a 100-TB job must not die on the first
 exotic payload — and the clearly-marked plug-in point is where
 PIL/torchvision/pyav slot in on a cluster that ships them.
@@ -76,8 +76,8 @@ def image_feature_stage(media: DataFrame, fake: bool = True) -> DataFrame:
     decode with the from-scratch codecs (``codecs.image_features`` —
     true width/height, 8×8 average-hash, grayscale histogram).
     Out-of-subset payloads emit NULL feature columns (n_bytes stays
-    real); progressive JPEG / exotic formats plug in at the marked
-    point when PIL/torchvision exist on the cluster."""
+    real); exotic formats plug in at the marked point when
+    PIL/torchvision exist on the cluster."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codecs import UnsupportedMediaError, image_features

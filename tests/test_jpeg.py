@@ -215,15 +215,133 @@ def test_restart_interval_stream():
 def test_out_of_subset_raises():
     px = _gradient_gray(8, 8)
     good = encode_jpeg(px, 8, 8, 1, quant=1)
-    # progressive: flip SOF0 -> SOF2
+    # arithmetic-coded sequential: SOF0 -> SOF9
+    arith = good.replace(b"\xFF\xC0", b"\xFF\xC9", 1)
+    with pytest.raises(UnsupportedMediaError, match="SOF9"):
+        decode_jpeg(arith)
+    # a SOF2 flip alone leaves a BASELINE scan header (Se=63 with Ss=0),
+    # which is not a legal progressive scan — malformed, not misdecoded
     prog = good.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
-    with pytest.raises(UnsupportedMediaError, match="baseline"):
+    with pytest.raises(UnsupportedMediaError):
         decode_jpeg(prog)
     # truncated entropy data
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(good[:len(good) - 12])
     with pytest.raises(UnsupportedMediaError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def test_progressive_roundtrip_gray_and_rgb_q1():
+    from ocr_devnagari_spark.jpegcodec import encode_jpeg_progressive
+    w, h = 21, 13
+    gray = _gradient_gray(w, h)
+    dec = decode_jpeg(encode_jpeg_progressive(gray, w, h, channels=1,
+                                              quant=1))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    assert max(abs(a[0] - b[0])
+               for a, b in zip(gray, dec["pixels"])) <= 1
+    rgb = [((x * 13) % 256, (y * 17) % 256, ((x + y) * 7) % 256)
+           for y in range(h) for x in range(w)]
+    dec3 = decode_jpeg(encode_jpeg_progressive(rgb, w, h, channels=3,
+                                               quant=1))
+    base3 = decode_jpeg(encode_jpeg(rgb, w, h, channels=3, quant=1))
+    # progressive decode ≡ the baseline re-encode of the same pixels
+    assert max(abs(a[i] - b[i])
+               for a, b in zip(base3["pixels"], dec3["pixels"])
+               for i in range(3)) <= 1
+
+
+def test_progressive_lossy_quant_close():
+    from ocr_devnagari_spark.jpegcodec import encode_jpeg_progressive
+    w, h = 16, 16
+    px = _gradient_gray(w, h)
+    dec = decode_jpeg(encode_jpeg_progressive(px, w, h, channels=1,
+                                              quant=8))
+    base = decode_jpeg(encode_jpeg(px, w, h, channels=1, quant=8))
+    # same quantized coefficients through either scan script
+    assert dec["pixels"] == base["pixels"]
+
+
+def test_hand_assembled_progressive_bitstream():
+    """Encoder-INDEPENDENT progressive fixture assembled bit-by-bit from
+    T.81 Annex G: 16×8 grayscale, flat quant 1, custom AC table carrying
+    the EOBn symbols the Annex-K tables lack. Exercises what the
+    encoder's per-block-EOB scan script never emits: a cross-block EOB
+    RUN in an AC-first scan, and a refinement EOB run whose covered
+    block still consumes correction bits for its nonzero history.
+
+    Scan script over blocks A,B:
+      1. DC  (Ss=0,Ah=0,Al=0):  A: diff 8 → cat4 '101'+'1000'; B: '00'.
+      2. AC first (1-63, Al=1): A: (0,2)'00'+3'11', EOB0 '10';
+         B: (1,1)'1110'+sign'1' → k2 = 1<<1, EOB0 '10'.
+      3. AC refine (1-63, Ah=1,Al=0): A: 0x11 '1110'+sign'1', walk
+         corrects k1 (bit '1': 6→7), inserts +1 at k3; EOB1 '01'+'0' →
+         run of 2 covers A's tail AND block B, whose nonzero k2 must
+         STILL read its correction bit ('1': 2→3).
+    """
+    import numpy as np
+
+    from ocr_devnagari_spark.jpegcodec import (
+        ZIGZAG,
+        _idct2,
+        _STD_DC_LUMA,
+    )
+
+    qzz = bytes([1] * 64)
+    dqt = b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz
+    sof = (b"\xFF\xC2" + struct.pack(">H", 11)
+           + struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dht_dc = (b"\xFF\xC4"
+              + struct.pack(">H", 2 + 1 + 16 + len(_STD_DC_LUMA[1]))
+              + b"\x00" + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
+    # custom AC table: len2: 00→0x02, 01→0x10(EOB1), 10→0x00(EOB0);
+    # len3: 110→0x01; len4: 1110→0x11; len5: 11110→0xF0
+    ac_bits = [0, 3, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x02, 0x10, 0x00, 0x01, 0x11, 0xF0]
+    dht_ac = (b"\xFF\xC4"
+              + struct.pack(">H", 2 + 1 + 16 + len(ac_vals))
+              + b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+
+    def sos(ss, se, ah, al, entropy):
+        return (b"\xFF\xDA" + struct.pack(">H", 8) + b"\x01"
+                + bytes([1, 0x00]) + bytes([ss, se, (ah << 4) | al])
+                + entropy)
+
+    # 101 1000 00 + pad(7×1)                  = 10110000 01111111
+    scan1 = sos(0, 0, 0, 0, bytes([0b10110000, 0b01111111]))
+    # 00 11 10 1110 1 10 + pad(3×1)           = 00111011 10110111
+    scan2 = sos(1, 63, 0, 1, bytes([0b00111011, 0b10110111]))
+    # 1110 1 1 01 0 1 + pad(6×1)              = 11101101 01111111
+    scan3 = sos(1, 63, 1, 0, bytes([0b11101101, 0b01111111]))
+    jpg = (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac
+           + scan1 + scan2 + scan3 + b"\xFF\xD9")
+    dec = decode_jpeg(jpg)
+    assert (dec["width"], dec["height"], dec["channels"]) == (16, 8, 1)
+
+    coef_a = np.zeros(64)
+    coef_a[0], coef_a[ZIGZAG[1]], coef_a[ZIGZAG[3]] = 8, 7, 1
+    coef_b = np.zeros(64)
+    coef_b[0], coef_b[ZIGZAG[2]] = 8, 3
+    want = np.zeros((8, 16))
+    want[:, :8] = _idct2(coef_a.reshape(8, 8)) + 128.0
+    want[:, 8:] = _idct2(coef_b.reshape(8, 8)) + 128.0
+    want = np.clip(np.rint(want), 0, 255).astype(int)
+    got = np.array([p[0] for p in dec["pixels"]]).reshape(8, 16)
+    assert (got == want).all()
+
+
+def test_progressive_via_image_features():
+    """The media stage dispatches progressive payloads like any JPEG
+    (no NULL fallback any more)."""
+    from ocr_devnagari_spark.jpegcodec import encode_jpeg_progressive
+    px = _gradient_gray(16, 16)
+    f = image_features(encode_jpeg_progressive(px, 16, 16, 1, quant=1))
+    assert (f["width"], f["height"]) == (16, 16)
+    assert isinstance(f["phash"], int)
 
 
 def test_image_features_dispatches_jpeg():
