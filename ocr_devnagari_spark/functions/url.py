@@ -250,7 +250,11 @@ def registrable_domains(df, host_col: str = "host", rules=None,
     the (small, broadcast) compiled-plan table, keep the best-priority
     match per host.  Same semantics as the expression form (shared
     ``psl_plan``), but the rule list never inflates the query plan —
-    the 9k-rule upstream PSL is a ~200 KB broadcast."""
+    the 9k-rule upstream PSL is a ~200 KB broadcast.
+
+    ``df`` rows must be DISTINCT: the candidate explode is re-grouped
+    by the full input row, so exact-duplicate rows collapse to one
+    (host tables are keyed in practice; carry a row id otherwise)."""
     plan = psl_plan(rules)
     spark = df.sparkSession
     rows = [(s, c, i, n)

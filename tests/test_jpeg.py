@@ -334,6 +334,124 @@ def test_hand_assembled_progressive_bitstream():
     assert (got == want).all()
 
 
+def test_progressive_subsampled_420_stream():
+    """Progressive 4:2:0: interleaved DC-first over the MCU grid (4 Y
+    blocks then Cb, Cr — the padded-grid path the 4:4:4 progressive
+    encoder never takes), DC refinement, then per-component AC scans
+    over each component's OWN block grid. Assembled from the encoder
+    primitives; expected pixels = the flat-chroma analytic image."""
+    from ocr_devnagari_spark.jpegcodec import (
+        _STD_AC_CHROMA,
+        _STD_AC_LUMA,
+        _STD_DC_CHROMA,
+        _STD_DC_LUMA,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        _category,
+        _enc_ac_first,
+        _enc_ac_refine,
+        _fdct2,
+    )
+
+    w = h = 16
+    r = np.zeros((h, w))
+    for y in range(h):
+        for x in range(w):
+            r[y, x] = (x * 8 + y * 4) % 256
+
+    def coefblocks(plane):
+        out = []
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                c = np.rint(_fdct2(
+                    plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    - 128.0))
+                out.append(np.array(
+                    [c.reshape(-1)[ZIGZAG[z]] for z in range(64)],
+                    dtype=np.int64))
+        return out
+
+    yb = coefblocks(r)
+    cbb = coefblocks(np.full((8, 8), 140.0))
+    crb = coefblocks(np.full((8, 8), 90.0))
+    dc_l = _build_encode_table(*_STD_DC_LUMA)
+    ac_l = _build_encode_table(*_STD_AC_LUMA)
+    dc_c = _build_encode_table(*_STD_DC_CHROMA)
+    ac_c = _build_encode_table(*_STD_AC_CHROMA)
+
+    def sos(cspec, ss, se, ah, al, body):
+        p = bytes([len(cspec)])
+        for cid, tt in cspec:
+            p += bytes([cid, tt])
+        p += bytes([ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", len(p) + 2) + p + body
+
+    # DC first (Al=1), MCU-interleaved: Y(2x2 raster) then Cb, Cr
+    wr = _BitWriter()
+    preds = {0: 0, 1: 0, 2: 0}
+    for blk, ci, tbl in [(yb[0], 0, dc_l), (yb[1], 0, dc_l),
+                         (yb[2], 0, dc_l), (yb[3], 0, dc_l),
+                         (cbb[0], 1, dc_c), (crb[0], 2, dc_c)]:
+        dc = int(blk[0]) >> 1
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        wr.write(*tbl[t])
+        if t:
+            wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    scans = [sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1,
+                 wr.flush())]
+    # DC refinement: same interleaved order, one bit per block
+    wr = _BitWriter()
+    for blk in (yb[0], yb[1], yb[2], yb[3], cbb[0], crb[0]):
+        wr.write(int(blk[0]) & 1, 1)
+    scans.append(sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0,
+                     wr.flush()))
+    # AC per component: first at Al=1 then refine to 0, full band
+    for cid, blocks, act in ((1, yb, ac_l), (2, cbb, ac_c),
+                             (3, crb, ac_c)):
+        wr = _BitWriter()
+        for blk in blocks:
+            _enc_ac_first(wr, blk, act, 1, 63, 1)
+        scans.append(sos([(cid, 0x00 if cid == 1 else 0x11)], 1, 63,
+                         0, 1, wr.flush()))
+    for cid, blocks, act in ((1, yb, ac_l), (2, cbb, ac_c),
+                             (3, crb, ac_c)):
+        wr = _BitWriter()
+        for blk in blocks:
+            _enc_ac_refine(wr, blk, act, 1, 63, 0)
+        scans.append(sos([(cid, 0x00 if cid == 1 else 0x11)], 1, 63,
+                         1, 0, wr.flush()))
+
+    qzz = bytes([1] * 64)
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x00" + qzz
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + b"\x01" + qzz
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+    for cls, tid, (bits, vals) in ((0, 0, _STD_DC_LUMA),
+                                   (1, 0, _STD_AC_LUMA),
+                                   (0, 1, _STD_DC_CHROMA),
+                                   (1, 1, _STD_AC_CHROMA)):
+        seg = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", len(seg) + 2) + seg
+    for s in scans:
+        out += s
+    out += b"\xFF\xD9"
+
+    dec = decode_jpeg(bytes(out))
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+    got = np.array(dec["pixels"], dtype=np.float64).reshape(h, w, 3)
+    want_r = r + 1.402 * (90.0 - 128.0)
+    want_g = r - 0.344136 * (140.0 - 128.0) - 0.714136 * (90.0 - 128.0)
+    want_b = r + 1.772 * (140.0 - 128.0)
+    want = np.clip(np.rint(np.stack([want_r, want_g, want_b], axis=-1)),
+                   0, 255)
+    assert np.abs(got - want).max() <= 2
+
+
 def test_progressive_via_image_features():
     """The media stage dispatches progressive payloads like any JPEG
     (no NULL fallback any more)."""
