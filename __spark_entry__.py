@@ -924,39 +924,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_bucketed,
             write_bucketed,
         )
-        import os
-        import shutil
-        import tempfile
-
         d = _t(spark, sf_dir, "documents")
         left = d.select("doc_id", F.length("text").alias("text_len"))
         right = d.select("doc_id", "source")
-        # External location keyed by the Spark applicationId: per-call
-        # rmtree of a globally-shared dir would race a concurrent
-        # session's in-flight read, while a fresh mkdtemp per call
-        # leaks a parquet copy of documents every driver-gate run.
+        # External location keyed by the Spark applicationId, homed
+        # under the session WAREHOUSE and managed via the Hadoop FS API
+        # (the table writes already go through Spark, so the cleanup
+        # must see the same — possibly shared — filesystem they land
+        # on).  Per-call delete of a globally-shared dir would race a
+        # concurrent session's in-flight read, while a fresh dir per
+        # call leaks a parquet copy of documents every driver-gate run.
         # Same-session reruns clear their own dir (the in-memory
         # catalog forgets tables but warehouse dirs persist —
         # LOCATION_ALREADY_EXISTS); stale siblings from dead sessions
         # are GC'd after a day.
-        tmp = tempfile.gettempdir()
-        base = os.path.join(
-            tmp, f"ocrds_gate_bkt_{spark.sparkContext.applicationId}")
+        import time as _time
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path
+        root = hpath(spark.conf.get("spark.sql.warehouse.dir"),
+                     "ocrds_gate_bkt")
+        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+        app_id = sc.applicationId
         spark.sql("DROP TABLE IF EXISTS gate_bkt_left")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_right")
-        shutil.rmtree(base, ignore_errors=True)
-        import glob
-        import time as _time
-        for old in glob.glob(os.path.join(tmp, "ocrds_gate_bkt_*")):
-            try:
-                if _time.time() - os.path.getmtime(old) > 86400:
-                    shutil.rmtree(old, ignore_errors=True)
-            except OSError:
-                pass
+        cutoff = int((_time.time() - 86400) * 1000)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name == app_id or st.getModificationTime() < cutoff:
+                    fs.delete(st.getPath(), True)
+        base = hpath(root, app_id).toString()
         write_bucketed(left, "gate_bkt_left", ["doc_id"], 8,
-                       sort_cols=["doc_id"], path=os.path.join(base, "l"))
+                       sort_cols=["doc_id"], path=base + "/l")
         write_bucketed(right, "gate_bkt_right", ["doc_id"], 8,
-                       sort_cols=["doc_id"], path=os.path.join(base, "r"))
+                       sort_cols=["doc_id"], path=base + "/r")
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:

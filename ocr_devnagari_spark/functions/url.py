@@ -150,7 +150,11 @@ PSL_SNAPSHOT = (
     "*.ck", "!www.ck",
 )
 
-_LASTK_RES = {k: r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1) for k in range(1, 6)}
+def _lastk_re(k: int) -> str:
+    """Regex capturing the last ``k`` dot-labels of a host — generated
+    for ANY k (the full upstream PSL carries 5-label rules, so a fixed
+    table would cap the rule depth)."""
+    return r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1)
 
 
 def psl_plan(rules=None) -> list[tuple[int, tuple[str, ...], int]]:
@@ -198,7 +202,7 @@ def psl_plan(rules=None) -> list[tuple[int, tuple[str, ...], int]]:
 
 
 def _last_labels(host: Column, k: int) -> Column:
-    return F.regexp_extract(host, _LASTK_RES[k], 1)
+    return F.regexp_extract(host, _lastk_re(k), 1)
 
 
 def registrable_domain(col: Column, rules=None) -> Column:

@@ -110,16 +110,20 @@ def test_psl_join_form_matches_expression(spark):
 
 def test_psl_custom_rules_parameterized(spark):
     """The rules parameter swaps the snapshot for any PSL-format list
-    (full upstream file / test policies) — comment lines ignored."""
-    rules = ["// comment", "custom.zz", "*.wild", "!keep.wild"]
+    (full upstream file / test policies) — comment lines ignored, and
+    deep rules (the upstream list carries 5-label entries) work."""
+    rules = ["// comment", "custom.zz", "*.wild", "!keep.wild",
+             "s3.dualstack.eu-west-1.amazonaws.com"]
     df = spark.createDataFrame(
         [(0, "https://a.custom.zz/"), (1, "https://x.b.wild/"),
-         (2, "https://keep.wild/"), (3, "https://plain.example/")],
+         (2, "https://keep.wild/"), (3, "https://plain.example/"),
+         (4, "https://bkt.s3.dualstack.eu-west-1.amazonaws.com/")],
         "i int, u string")
     got = {r.i: r.d for r in df.select("i", registrable_domain(
         F.col("u"), rules=rules).alias("d")).collect()}
     assert got == {0: "a.custom.zz", 1: "x.b.wild", 2: "keep.wild",
-                   3: "plain.example"}
+                   3: "plain.example",
+                   4: "bkt.s3.dualstack.eu-west-1.amazonaws.com"}
 
 
 @pytest.mark.parametrize("name", ["url_canonicalize", "url_domain_stats"])
