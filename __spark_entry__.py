@@ -63,6 +63,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:
+    """Warehouse-homed scratch location for a driver-gate fixture,
+    managed via the Hadoop FS API (the fixture reads/writes go through
+    Spark, so the cleanup must see the same — possibly shared —
+    filesystem they land on).  Returns ``<warehouse>/<name>/<entry>``
+    as a path string after GC'ing (a) this session's own previous entry
+    — same-session reruns must not trip over stale state — and (b) any
+    sibling untouched for a day (dead sessions' leftovers; nothing
+    leaks per gate run).  A live sibling is never touched: a per-call
+    delete of the whole dir would race a concurrent session's in-flight
+    read.  Every delete is individually best-effort: on a shared store
+    (HDFS/S3A) another user's stale entry may be undeletable
+    (AccessControlException), and that must not fail an otherwise-green
+    gate query whose own fixture is fine."""
+    import time as _time
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    root = hpath(spark.conf.get("spark.sql.warehouse.dir"), name)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    cutoff = int((_time.time() - 86400) * 1000)
+    try:
+        stats = list(fs.listStatus(root)) if fs.exists(root) else []
+    except Exception:
+        stats = []
+    for st in stats:
+        if (st.getPath().getName() == entry
+                or st.getModificationTime() < cutoff):
+            try:
+                fs.delete(st.getPath(), True)
+            except Exception:
+                pass
+    return hpath(root, entry).toString()
+
+
 # ---------------------------------------------------------------------------
 # Shared constructions (mirrored 1:1 in the oracle SQL)
 # ---------------------------------------------------------------------------
@@ -927,33 +962,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         left = d.select("doc_id", F.length("text").alias("text_len"))
         right = d.select("doc_id", "source")
-        # External location keyed by the Spark applicationId, homed
-        # under the session WAREHOUSE and managed via the Hadoop FS API
-        # (the table writes already go through Spark, so the cleanup
-        # must see the same — possibly shared — filesystem they land
-        # on).  Per-call delete of a globally-shared dir would race a
-        # concurrent session's in-flight read, while a fresh dir per
-        # call leaks a parquet copy of documents every driver-gate run.
-        # Same-session reruns clear their own dir (the in-memory
-        # catalog forgets tables but warehouse dirs persist —
-        # LOCATION_ALREADY_EXISTS); stale siblings from dead sessions
-        # are GC'd after a day.
-        import time as _time
-        sc = spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path
-        root = hpath(spark.conf.get("spark.sql.warehouse.dir"),
-                     "ocrds_gate_bkt")
-        fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
-        app_id = sc.applicationId
+        # shared fixture-dir recipe (_gate_fixture_base): appId-keyed
+        # entry under the warehouse; same-session reruns clear their
+        # own dir (the in-memory catalog forgets tables but warehouse
+        # dirs persist — LOCATION_ALREADY_EXISTS), day-stale siblings
+        # from dead sessions are GC'd
         spark.sql("DROP TABLE IF EXISTS gate_bkt_left")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_right")
-        cutoff = int((_time.time() - 86400) * 1000)
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if name == app_id or st.getModificationTime() < cutoff:
-                    fs.delete(st.getPath(), True)
-        base = hpath(root, app_id).toString()
+        base = _gate_fixture_base(
+            spark, "ocrds_gate_bkt", spark.sparkContext.applicationId)
         write_bucketed(left, "gate_bkt_left", ["doc_id"], 8,
                        sort_cols=["doc_id"], path=base + "/l")
         write_bucketed(right, "gate_bkt_right", ["doc_id"], 8,
@@ -1516,22 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "2024-03-01T00:00:00Z",
                  ("<html><body><p>" + r["text"] + "</p></body></html>"
                   ).encode(), "response") for r in rows]
-        sc = spark.sparkContext
-        jvm = sc._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        base = hpath(spark.conf.get("spark.sql.warehouse.dir"),
-                     "ocrds_gate_warc")
-        fs = base.getFileSystem(sc._jsc.hadoopConfiguration())
-        import time as _time
-        cutoff = int((_time.time() - 86400) * 1000)
-        app_id = sc.applicationId
-        if fs.exists(base):
-            for st in fs.listStatus(base):
-                name = st.getPath().getName()
-                if (name != f"{app_id}.warc.gz"
-                        and st.getModificationTime() < cutoff):
-                    fs.delete(st.getPath(), False)
-        path = hpath(base, f"{app_id}.warc.gz").toString()
+        path = _gate_fixture_base(
+            spark, "ocrds_gate_warc",
+            f"{spark.sparkContext.applicationId}.warc.gz")
         write_warc_fs(spark, path, recs)
         return path
 

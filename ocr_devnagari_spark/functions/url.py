@@ -260,13 +260,20 @@ def registrable_domains(df, host_col: str = "host", rules=None,
     by the full input row, so exact-duplicate rows collapse to one
     (host tables are keyed in practice; carry a row id otherwise)."""
     plan = psl_plan(rules)
+    host = F.col(host_col)
+    if not plan:
+        # an empty compiled plan (rules that all collapse into the PSL
+        # default rule, e.g. ["com"]) must mean "default rule for every
+        # host", exactly like the expression form — NOT an empty result
+        # (explode over a zero-element candidate array drops all rows)
+        return df.select(*df.columns,
+                         _last_labels(host, 2).alias(out_col))
     spark = df.sparkSession
     rows = [(s, c, i, n)
             for i, (c, sfxs, n) in enumerate(plan) for s in sfxs]
     rdf = spark.createDataFrame(
         rows, "sfx string, match_c int, prio int, ps int")
     ks = sorted({c for c, _, _ in plan})
-    host = F.col(host_col)
     cand = df.withColumn(
         "_cand", F.explode(F.array(*[
             F.struct(_last_labels(host, k).alias("sfx"),

@@ -46,8 +46,20 @@ def _materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         reliable = sc.getCheckpointDir() is not None
     if reliable and sc.getCheckpointDir() is None:
         raise ValueError("reliable=True needs sc.setCheckpointDir(...)")
-    return (df.checkpoint(eager=True) if reliable
-            else df.localCheckpoint(eager=True))
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    # persist-before-checkpoint (the Spark docs' rule): reliable RDD
+    # checkpointing runs a SECOND job to write the checkpoint files
+    # after the eager count, recomputing the whole lineage unless the
+    # blocks are cached.  The checkpoint files carry the data from here
+    # on, so the cache is dropped immediately after.
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
 
 
 def tokens_col(text_col: str = "text"):

@@ -184,6 +184,15 @@ def range_join(points: DataFrame, intervals: DataFrame,
         raise ValueError("bucket_width must be positive")
     if max_buckets < 1:
         raise ValueError("max_buckets must be >= 1")
+    from .dedup import _materialize
+
+    # materialize once: the intervals lineage is consumed up to three
+    # times below (narrow bucket join, wide counted gate, wide
+    # broadcast join) — for a derived/expensive intervals DF each
+    # un-truncated consumer would re-run the full upstream plan.  This
+    # also makes the counted gate's eager job a cheap limit over
+    # materialized blocks rather than a full re-evaluation.
+    intervals = _materialize(intervals)
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
     hi_b = F.floor(F.col(hi_col) / bucket_width).cast("long")
     n_b = (hi_b - lo_b + F.lit(1))

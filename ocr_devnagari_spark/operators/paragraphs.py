@@ -42,8 +42,12 @@ BROADCAST_GRAM_LIMIT = 5_000_000
 
 def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   sep: str = PARA_SEP) -> DataFrame:
-    """(id, pos, para) — one row per paragraph, 0-based position.
+                   sep: str = PARA_SEP,
+                   carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry_cols, pos, para) — one row per paragraph, 0-based
+    position.  ``carry_cols`` ride along per-id (small metadata like the
+    host) so callers need no join-back against the — possibly
+    expensive — input lineage to recover them.
 
     Paragraphs are the raw ``split(text, sep)`` segments — NOT trimmed,
     empties kept — so reassembly with the same separator is lossless
@@ -57,7 +61,7 @@ def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
     import re
 
     return df.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in carry_cols],
         F.posexplode(F.split(F.col(text_col), re.escape(sep)))
         .alias("pos", "para"))
 
@@ -65,6 +69,7 @@ def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = PARA_SEP,
                     max_docs: int = 1, keep: str = "all",
+                    carry_cols: tuple[str, ...] = (),
                     ) -> DataFrame:
     """Remove corpus-wide duplicate paragraphs and reassemble documents.
 
@@ -77,14 +82,18 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
       occurrence of each paragraph, ordered by ``(id, pos)``;
       ``max_docs`` is ignored.
 
-    Returns ``(id_col, text_col, n_paras, n_removed)`` for EVERY input
-    document (a document whose paragraphs are all dropped comes back
-    with ``text = ''``).  Deterministic: both modes are pure functions
-    of the corpus, mirrored 1:1 by the DuckDB oracle.
+    Returns ``(id_col, *carry_cols, text_col, n_paras, n_removed)`` for
+    EVERY input document (a document whose paragraphs are all dropped
+    comes back with ``text = ''``).  ``carry_cols`` are per-id metadata
+    columns (e.g. the host) passed through unchanged — carrying them
+    here is free (they ride the existing shuffles) where a caller-side
+    join-back would re-run the input lineage a second time.
+    Deterministic: both modes are pure functions of the corpus,
+    mirrored 1:1 by the DuckDB oracle.
     """
     if keep not in ("all", "first"):
         raise ValueError("keep must be 'all' or 'first'")
-    paras = paragraph_rows(df, id_col, text_col, sep)
+    paras = paragraph_rows(df, id_col, text_col, sep, carry_cols)
     if keep == "first":
         # NOT a window over partitionBy(para): a boilerplate paragraph
         # repeated on 10M pages would funnel 10M rows into one window
@@ -117,6 +126,7 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     rebuilt = (marked
                .groupBy(id_col)
                .agg(
+                   *[F.first(F.col(c)).alias(c) for c in carry_cols],
                    F.array_join(
                        F.transform(
                            F.array_sort(F.collect_list(

@@ -81,11 +81,15 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
     gated = df.filter(gate)
     if para_max_docs is not None:
         from ..operators.paragraphs import paragraph_dedup
+        # host rides THROUGH the dedup (carry_cols) instead of a
+        # join-back against `gated` — the join-back form consumed the
+        # gate lineage twice, re-running the Arrow repetition pass
+        # (the recipe's most expensive stage) over the whole corpus
         rewritten = paragraph_dedup(
-            gated.select(id_col, text_col), id_col=id_col,
-            text_col=text_col, max_docs=para_max_docs)
-        gated = rewritten.select(id_col, text_col).join(
-            gated.select(id_col, host_col), on=id_col)
+            gated.select(id_col, text_col, host_col), id_col=id_col,
+            text_col=text_col, max_docs=para_max_docs,
+            carry_cols=(host_col,))
+        gated = rewritten.select(id_col, text_col, host_col)
     if pii_scrub:
         from ..functions.pii import redact_pii
         gated = gated.withColumn(text_col, redact_pii(text))

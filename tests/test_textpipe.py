@@ -185,6 +185,28 @@ def test_paragraph_dedup_first_mode_and_empty_doc(spark):
     assert set(got) == {0, 1, 2}
 
 
+def test_paragraph_dedup_carry_cols(spark):
+    """carry_cols ride per-id metadata through the dedup (so callers
+    like curate_docs need no join-back that would re-run the input
+    lineage) — values unchanged, result rows otherwise identical."""
+    nl = "\n"
+    df = spark.createDataFrame(
+        [(0, nl.join(["body zero", "FOOTER"]), "h0"),
+         (1, nl.join(["body one", "FOOTER"]), "h1")],
+        "doc_id long, text string, host string")
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, max_docs=1,
+                           carry_cols=("host",)).collect()}
+    assert got[0]["host"] == "h0" and got[1]["host"] == "h1"
+    assert got[0]["text"] == "body zero"
+    base = {r["doc_id"]: r for r in
+            paragraph_dedup(df.select("doc_id", "text"),
+                            max_docs=1).collect()}
+    for i in (0, 1):
+        assert got[i]["text"] == base[i]["text"]
+        assert got[i]["n_removed"] == base[i]["n_removed"]
+
+
 def test_paragraph_dedup_rejects_bad_mode(spark):
     df = _pdf(spark, [(0, "x")])
     with pytest.raises(ValueError):

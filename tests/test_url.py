@@ -108,6 +108,21 @@ def test_psl_join_form_matches_expression(spark):
     assert via_join == via_expr
 
 
+def test_psl_join_form_empty_plan_defaults(spark):
+    """Rules that all collapse into the PSL default rule (1-label
+    normal rules) compile to an empty plan — the join form must then
+    apply the default rule to every host, like the expression form,
+    NOT return an empty DataFrame."""
+    from ocr_devnagari_spark.functions.url import registrable_domains
+
+    df = spark.createDataFrame(
+        [(0, "a.b.example.com"), (1, "single")], "i int, host string")
+    got = {r.i: r.domain
+           for r in registrable_domains(df, rules=["com", "org"])
+           .collect()}
+    assert got == {0: "example.com", 1: ""}
+
+
 def test_psl_custom_rules_parameterized(spark):
     """The rules parameter swaps the snapshot for any PSL-format list
     (full upstream file / test policies) — comment lines ignored, and
