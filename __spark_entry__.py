@@ -102,6 +102,21 @@ def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:
 # Shared constructions (mirrored 1:1 in the oracle SQL)
 # ---------------------------------------------------------------------------
 
+# linear quality classifier demo model (terms from the synthetic corpus
+# vocabulary).  Weights are DYADIC rationals (exact binary doubles), so
+# per-document sums are exact in BOTH engines regardless of addition
+# order — the sigmoid then rounds identically.
+CLASSIFIER_WEIGHTS = [
+    ("fast", 1.5), ("vector", 0.75), ("spark", 0.5),
+    ("slow", -1.25), ("dup", -2.0),
+]
+
+# semdedup driver query: planted exact duplicates sit at cosine 1.0;
+# the synthetic embeddings' real within-label pairs top out ≈0.48, so
+# 0.8 separates them with a wide parity margin
+SEMDEDUP_TAU = 0.8
+
+
 def _wrapped_pages(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1697,6 +1712,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .join(losers, "doc_id", "left_anti"))
     q["neardup_prune"] = neardup_prune
 
+    # ---- model-application scoring (round 5): linear classifier,
+    #      DSIR importance weights, SemDeDup ----
+    def quality_classifier(spark, sf_dir):
+        from ocr_devnagari_spark.operators.scoring import (
+            linear_quality_score,
+        )
+        d = _t(spark, sf_dir, "documents")
+        return linear_quality_score(d, CLASSIFIER_WEIGHTS)
+    q["quality_classifier"] = quality_classifier
+
+    def dsir_weights_q(spark, sf_dir):
+        from ocr_devnagari_spark.operators.scoring import dsir_weights
+        d = _t(spark, sf_dir, "documents")
+        target = d.filter(F.col("doc_id") % 101 == 0)
+        raw = d.filter(F.col("doc_id") % 101 != 0)
+        return dsir_weights(raw, target, n=2, n_buckets=256)
+    q["dsir_weights"] = dsir_weights_q
+
+    def semdedup_labels(spark, sf_dir):
+        from ocr_devnagari_spark.operators.similarity import semdedup
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding")
+        # plant exact duplicates of the first 10 vectors (the synthetic
+        # embeddings have no natural near-dups — max within-label
+        # cosine ≈0.48): the copies must be dropped, originals kept
+        planted = (e.filter(F.col("vec_id") < 10)
+                   .select((F.col("vec_id") + 10000).alias("vec_id"),
+                           "label", "embedding"))
+        return semdedup(e.unionByName(planted), tau=SEMDEDUP_TAU,
+                        cluster_col="label")
+    q["semdedup_labels"] = semdedup_labels
+
     # ------------------------------------------------------------------
     # Driver-gate window curation: the correctness driver checks only the
     # FIRST ~50 registered queries per round, so registration order IS
@@ -1722,9 +1769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_report", "robots_sitemaps",
         # -- new/upgraded this round (needs fresh driver evidence) --
         "url_domain_stats", "curate_full_report",
-        # -- 8 core reference-surface representatives (green in r04) --
-        "extract_wrapped", "p2_validate", "m6_critical", "m5_route_stats",
-        "a2_cost_summary", "j1_resume_antijoin",
+        "quality_classifier", "dsir_weights", "semdedup_labels",
+        # -- core reference-surface representatives (green in r03+r04;
+        #    trimmed to keep the window at 50 — p2_validate,
+        #    a2_cost_summary and j1_resume_antijoin have two rounds of
+        #    standing driver evidence each) --
+        "extract_wrapped", "m6_critical", "m5_route_stats",
         "dedup_minhash", "sim_cosine_topk",
     ]
     missing = [k for k in priority if k not in q]
@@ -2621,6 +2671,85 @@ def _host_components_sql() -> str:
         "SELECT id, min(r) AS component FROM reach GROUP BY id")
 
 
+def _quality_classifier_sql() -> str:
+    """Mirror of ``linear_quality_score`` over CLASSIFIER_WEIGHTS —
+    the VALUES table is generated from the same constant the Spark
+    query uses, so a weight edit diverges loudly."""
+    vals = ", ".join(f"('{t}', {w!r})" for t, w in CLASSIFIER_WEIGHTS)
+    sig = ("round(1.0 / (1.0 + exp(-(0.0 + coalesce(s.sw, 0.0)))), 6)")
+    return (
+        f"WITH w(term, wt) AS (VALUES {vals}), "
+        "toks AS (SELECT doc_id, unnest(string_split_regex("
+        "lower(text), '\\s+')) AS term FROM documents), "
+        "s AS (SELECT doc_id, count(*) AS n_hits, sum(wt) AS sw "
+        "FROM toks JOIN w USING (term) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(s.n_hits, 0) AS BIGINT) "
+        f"AS n_hits, {sig} AS score, {sig} >= 0.5 AS keep "
+        "FROM documents d LEFT JOIN s USING (doc_id)")
+
+
+def _dsir_weights_sql(hash_bucket_sql, n_buckets: int = 256) -> str:
+    """Mirror of ``dsir_weights`` (n=2 hashed bigrams, add-1 smoothing):
+    target = doc_id % 101 = 0, raw corpus = the rest — same recipe as
+    the ``decontaminate`` eval split.  Per-bucket logratios quantize to
+    INTEGER micro-units before the per-document sum (the scoring.py
+    parity discipline — exact integer sums, one final division), and
+    the bucket hash is the shared md5 wheel."""
+    grams = ("unnest([array_to_string(ws[i:i+1], ' ') for i in "
+             "generate_series(1, greatest(len(ws)-1, 0))])")
+    bkt = hash_bucket_sql("g", n_buckets)
+    nb = float(n_buckets)
+    return (
+        "WITH tg AS (SELECT " + grams + " AS g FROM ("
+        "SELECT string_split(text, ' ') AS ws FROM documents "
+        "WHERE doc_id % 101 = 0)), "
+        "rg AS (SELECT doc_id, " + grams + " AS g FROM ("
+        "SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE doc_id % 101 <> 0)), "
+        f"tc AS (SELECT {bkt} AS bucket, count(*) AS c "
+        "FROM tg GROUP BY 1), "
+        f"rc AS (SELECT {bkt} AS bucket, count(*) AS c "
+        "FROM rg GROUP BY 1), "
+        "ratios AS (SELECT b.bucket, CAST(round(("
+        "ln((coalesce(t.c, 0) + 1.0) / "
+        f"((SELECT coalesce(sum(c), 0) FROM tc) + {nb!r})) - "
+        "ln((coalesce(r.c, 0) + 1.0) / "
+        f"((SELECT coalesce(sum(c), 0) FROM rc) + {nb!r}))"
+        ") * 1000000.0) AS BIGINT) "
+        "AS lrm FROM (SELECT unnest(generate_series(0, "
+        f"{n_buckets - 1})) AS bucket) b "
+        "LEFT JOIN tc t ON b.bucket = t.bucket "
+        "LEFT JOIN rc r ON b.bucket = r.bucket), "
+        "dw AS (SELECT doc_id, count(*) AS n_grams, "
+        "CAST(sum(lrm) AS DOUBLE) / 1000000.0 AS s FROM ("
+        f"SELECT doc_id, {bkt} AS bucket FROM rg) j "
+        "JOIN ratios USING (bucket) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(dw.n_grams, 0) AS BIGINT) "
+        "AS n_grams, coalesce(dw.s, 0.0) AS weight "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) d "
+        "LEFT JOIN dw USING (doc_id)")
+
+
+def _semdedup_sql() -> str:
+    """Mirror of the ``semdedup_labels`` driver query: label-clustered
+    greedy keeper scan at tau = SEMDEDUP_TAU over the embeddings table
+    plus the 10 planted duplicates (vec_id + 10000)."""
+    cos = ("list_dot_product(l.vv, r.vv) / "
+           "(sqrt(list_dot_product(l.vv, l.vv)) * "
+           "sqrt(list_dot_product(r.vv, r.vv)))")
+    return (
+        "WITH e AS (SELECT vec_id, label, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 10000 AS vec_id, label, embedding "
+        "FROM embeddings WHERE vec_id < 10), "
+        "v AS (SELECT vec_id AS id, label AS cluster, "
+        "embedding::DOUBLE[] AS vv FROM e), "
+        "drops AS (SELECT DISTINCT r.id FROM v l JOIN v r "
+        "ON l.cluster = r.cluster AND l.id < r.id "
+        f"WHERE round({cos}, 6) >= {SEMDEDUP_TAU!r}) "
+        "SELECT v.id AS vec_id, v.cluster, (d.id IS NULL) AS keep "
+        "FROM v LEFT JOIN drops d ON v.id = d.id")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
 
@@ -2995,4 +3124,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM base GROUP BY domain, lang) WHERE rk = 1) "
             "SELECT s.domain, s.n_docs, s.total_tokens, s.avg_quality, "
             "t.top_lang FROM stats s JOIN top t USING (domain)"),
+        "quality_classifier": _quality_classifier_sql(),
+        "dsir_weights": _dsir_weights_sql(hash_bucket_sql),
+        "semdedup_labels": _semdedup_sql(),
     }

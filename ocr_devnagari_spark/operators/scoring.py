@@ -1,0 +1,210 @@
+"""Model-based corpus scoring — classifier application and importance
+weighting for training-data curation.
+
+Two published recipe stages the heuristic gates (Gopher/C4) cannot
+express, both pure DataFrame compositions:
+
+- **Linear quality classifier** (fastText-style, the FineWeb-Edu /
+  DCLM filtering construction): a trained bag-of-words linear model is
+  just a (term, weight) table — applying it at corpus scale is
+  tokenize → join the weight table → per-document sum → sigmoid.  The
+  model table is broadcast when it fits (counted gate); the corpus side
+  never shuffles anything but (id, term) pairs.
+- **DSIR importance weighting** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): documents are scored by
+  how much more likely their hashed n-gram profile is under a TARGET
+  distribution (e.g. Wikipedia/books) than under the RAW crawl
+  distribution — ``w(doc) = Σ_gram log(p_target(h(gram)) /
+  p_raw(h(gram)))`` over hashed n-gram buckets with add-α smoothing.
+  Both distributions are tiny (``n_buckets`` rows) aggregates; the
+  log-ratio table rides a broadcast join onto the corpus grams.
+
+Scale shape: the models/distributions are small by construction (10^4-
+10^6 rows) and the corpus side is explode → broadcast-join → per-id
+sum — one keyed shuffle, no corpus-sized collect, no Python workers.
+Cross-engine parity: gram hashing rides the shared 32-bit md5 wheel
+(functions/splits.py) and per-bucket log-ratios are quantized to
+INTEGER micro-units (1e-6) before the per-document sum, so the sum is
+exact integer arithmetic — identical on any engine, partitioning, or
+addition order — and the emitted weight is one deterministic division.
+(Rounding a FLOAT sum of 6-d.p. decimal addends to 4 d.p. ties on the
+…50 half boundary for ~1/100 documents, and float accumulation order
+breaks such ties differently per engine — measured, not hypothetical.)
+
+No counterpart in the reference (an OCR orchestrator); part of the
+engine's web-corpus surface.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.repetition import word_ngrams
+from ..functions.splits import hash_bucket
+
+log = logging.getLogger(__name__)
+
+# weight/model tables under this row count broadcast onto the corpus
+# join (the keeper-map / eval-gram counted-gate discipline)
+BROADCAST_MODEL_LIMIT = 5_000_000
+
+TOKEN_SEP = r"\s+"
+
+
+def _tokens(text_col: str):
+    """Lowercased whitespace tokens WITH multiplicity — the bag-of-words
+    feature map (mirrored by ``string_split_regex(lower(..), '\\s+')``
+    in the oracle)."""
+    return F.split(F.lower(F.col(text_col)), TOKEN_SEP)
+
+
+def linear_quality_score(df: DataFrame, weights, bias: float = 0.0,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         threshold: float = 0.5,
+                         broadcast_weights: bool | None = None
+                         ) -> DataFrame:
+    """Apply a bag-of-words linear classifier to every document.
+
+    ``weights`` is the trained model: a ``(term string, w double)``
+    DataFrame or a ``[(term, w), ...]`` list.  Tokens are lowercased
+    whitespace splits, counted WITH multiplicity (the fastText bag).
+
+    Returns ``(id_col, n_hits, score, keep)`` for EVERY input document:
+    ``n_hits`` = number of token occurrences that matched a model term,
+    ``score = sigmoid(bias + Σ w)`` rounded to 6 d.p., ``keep = score
+    >= threshold`` (the FineWeb-Edu-style filter verdict).
+
+    ``broadcast_weights=None`` counts the model table and broadcasts it
+    under ``BROADCAST_MODEL_LIMIT`` rows; real vocabularies are 10^4-
+    10^6 terms, so the broadcast path is the norm — past the limit the
+    join falls back to a shuffle hash join on the term.
+    """
+    spark = df.sparkSession
+    if not isinstance(weights, DataFrame):
+        weights = spark.createDataFrame(
+            list(weights), "term string, w double")
+    if broadcast_weights is None:
+        broadcast_weights = (
+            weights.limit(BROADCAST_MODEL_LIMIT + 1).count()
+            <= BROADCAST_MODEL_LIMIT)
+    if broadcast_weights:
+        weights = F.broadcast(weights)
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(text_col)).alias("term"))
+    sums = (toks.join(weights, on="term", how="inner")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.sum("w").alias("_s")))
+    spine = df.select(id_col)
+    raw = F.lit(float(bias)) + F.coalesce(F.col("_s"), F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
+    return (spine.join(sums, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    score.alias("score"),
+                    (score >= threshold).alias("keep")))
+
+
+def dsir_bucket_logratios(target: DataFrame, raw: DataFrame,
+                          n: int = 2, n_buckets: int = 4096,
+                          alpha: float = 1.0,
+                          text_col: str = "text") -> DataFrame:
+    """(bucket, logratio_micro, logratio) — the DSIR importance model:
+    add-α-smoothed hashed-n-gram distributions of the TARGET and RAW
+    corpora, ``logratio = ln(p_target) - ln(p_raw)`` quantized HALF_UP
+    to integer micro-units (``logratio_micro``, 1e-6); the ``logratio``
+    double is exactly ``logratio_micro / 1e6`` for readability.
+
+    Exactly ``n_buckets`` rows come out (a bucket no gram hashed into
+    still carries its smoothed ratio), so the result broadcasts onto
+    any corpus.  The two inputs are each one explode→groupBy aggregate
+    — at 10^12 rows that is the cheapest possible full-corpus statistic
+    (map-side partial sums, ``n_buckets`` final rows)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+    spark = target.sparkSession
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (df.select(F.explode(
+                    word_ngrams(F.col(text_col), n)).alias("g"))
+                .select(hash_bucket(F.col("g"), n_buckets)
+                        .alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c")))
+
+    # totals ride the same tiny aggregates — no extra corpus pass
+    tc = counts(target).collect()
+    rc = counts(raw).collect()
+    nt = sum(r["c"] for r in tc)
+    nr = sum(r["c"] for r in rc)
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def m6(x: float) -> int:
+        # HALF_UP micro-units via the decimal repr (Spark's BigDecimal
+        # rounding); the oracle's round(x * 1e6) agrees except within
+        # one ulp of a half boundary, which ln outputs never land on —
+        # Python's round() is banker's and is NOT used
+        return int(Decimal(repr(x)).scaleb(6).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    tmap = {r["bucket"]: r["c"] for r in tc}
+    rmap = {r["bucket"]: r["c"] for r in rc}
+    denom_t = nt + alpha * n_buckets
+    denom_r = nr + alpha * n_buckets
+    micros = [(b, m6(math.log((tmap.get(b, 0) + alpha) / denom_t)
+                     - math.log((rmap.get(b, 0) + alpha) / denom_r)))
+              for b in range(n_buckets)]
+    rows = [(b, m, m / 1e6) for b, m in micros]
+    return spark.createDataFrame(
+        rows, "bucket long, logratio_micro long, logratio double")
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame, n: int = 2,
+                 n_buckets: int = 4096, alpha: float = 1.0,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 ratios: DataFrame | None = None) -> DataFrame:
+    """Per-document DSIR importance weight over ``docs`` (the RAW
+    corpus) against ``target``.
+
+    Returns ``(id_col, n_grams, weight)`` for EVERY document of
+    ``docs``: ``weight = (Σ_gram logratio_micro(bucket(gram))) / 1e6``
+    with gram multiplicity — an EXACT integer sum followed by one
+    division, so the double is bit-identical on any engine or addition
+    order (a document with no n-grams weighs 0.0 — the empty-product
+    convention).  Resampling keeps the highest-weight documents (or
+    samples ∝ exp(weight)); compose with ``functions/splits.py`` for
+    the deterministic keep.
+
+    Pass a precomputed ``ratios`` table (``dsir_bucket_logratios``) to
+    amortize the model over many corpora — the ``build_ann_index``
+    discipline.  The ratio table is ``n_buckets`` rows and always
+    broadcasts."""
+    if ratios is None:
+        ratios = dsir_bucket_logratios(target, docs, n, n_buckets,
+                                       alpha, text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    joined = (grams
+              .select(F.col(id_col),
+                      hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+              .join(F.broadcast(ratios.select("bucket",
+                                              "logratio_micro")),
+                    on="bucket", how="inner")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("logratio_micro").alias("_wm")))
+    spine = docs.select(id_col)
+    return (spine.join(joined, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    (F.coalesce(F.col("_wm"), F.lit(0)).cast("double")
+                     / F.lit(1000000.0)).alias("weight")))

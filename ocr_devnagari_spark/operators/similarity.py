@@ -510,3 +510,57 @@ def knn_self_join(emb: DataFrame, threshold: float = 0.95,
                             6).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
             .distinct())   # a pair may collide in several bands
+
+
+def semdedup(emb: DataFrame, tau: float = 0.8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cluster_col: str | None = None,
+             n_centroids: int = 16, iterations: int = 5,
+             centroids: list | None = None) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then drop near-duplicates WITHIN each cluster —
+    pairwise cosine is computed only inside a cluster, so the quadratic
+    is bounded by cluster size instead of corpus size (the paper scales
+    k with the corpus to keep clusters workable; same discipline as the
+    LSH bucket caps).
+
+    Deterministic keeper rule (the exact-dedup lowest-id discipline): a
+    row is DROPPED iff some lower-``id_col`` row in the same cluster has
+    ``round(cosine, 6) >= tau`` with it — the greedy scan-in-id-order
+    semantics, reproducible on any cluster size.
+
+    ``cluster_col`` uses an existing column as the clustering (any
+    precomputed partition — IVF cell, LSH bucket, label); otherwise
+    k-means (``kmeans_centroids``) assigns one, with ``centroids``
+    accepted precomputed to amortize training (the ``build_ann_index``
+    discipline).
+
+    Returns ``(id_col, cluster, keep)`` for EVERY input row.  The
+    within-cluster self-join shuffles on the cluster key — a skewed
+    (mega-)cluster is AQE-splittable on the join; at 10^12 rows raise
+    ``n_centroids`` so expected cluster size stays bounded, exactly as
+    the paper prescribes."""
+    if cluster_col is not None:
+        assigned = emb.select(F.col(id_col),
+                              F.col(cluster_col).alias("cluster"),
+                              F.col(vec_col))
+    else:
+        if centroids is None:
+            centroids = kmeans_centroids(emb, n_centroids, iterations,
+                                         id_col, vec_col)
+        assigned = _assign_stage(emb, centroids, id_col, vec_col).select(
+            F.col(id_col), F.col("cluster"), F.col(vec_col))
+    v = F.col(vec_col).cast("array<double>")
+    e = assigned.select(F.col(id_col).alias("id"), "cluster",
+                        v.alias("v"))
+    l, r = e.alias("l"), e.alias("r")
+    drops = (l.join(r, "cluster")
+             .filter(F.col("l.id") < F.col("r.id"))
+             .filter(F.round(cosine_col(F.col("l.v"), F.col("r.v")), 6)
+                     >= tau)
+             .select(F.col("r.id").alias("id"))
+             .distinct())
+    return (e.join(drops.withColumn("_d", F.lit(True)), on="id",
+                   how="left")
+            .select(F.col("id").alias(id_col), F.col("cluster"),
+                    F.col("_d").isNull().alias("keep")))
