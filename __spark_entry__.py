@@ -116,6 +116,11 @@ CLASSIFIER_WEIGHTS = [
 # 0.8 separates them with a wide parity margin
 SEMDEDUP_TAU = 0.8
 
+# CCNet tier cutpoints, pinned from the sf0.01 cross-entropy terciles
+# (measured ≈3.8817 / 3.9209 over range [3.744, 4.145]) — CCNet derives
+# these from corpus quantiles; the gate pins them for reproducibility
+LM_TIER_CUTS = (3.88, 3.92)
+
 
 def _wrapped_pages(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1730,6 +1735,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(raw, target, n=2, n_buckets=256)
     q["dsir_weights"] = dsir_weights_q
 
+    def lm_tiers(spark, sf_dir):
+        from ocr_devnagari_spark.operators.scoring import (
+            ccnet_tier,
+            lm_cross_entropy,
+        )
+        d = _t(spark, sf_dir, "documents")
+        target = d.filter(F.col("doc_id") % 101 == 0)
+        raw = d.filter(F.col("doc_id") % 101 != 0)
+        ce = lm_cross_entropy(raw, target, n=1, n_buckets=256)
+        # min/max are selections of bit-identical doubles (no float
+        # sums), so the aggregate hashes exactly cross-engine
+        return (ce.select(
+                    ccnet_tier(F.col("cross_entropy"), *LM_TIER_CUTS)
+                    .alias("tier"), "cross_entropy")
+                .groupBy("tier")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min("cross_entropy").alias("min_ce"),
+                     F.max("cross_entropy").alias("max_ce")))
+    q["lm_tiers"] = lm_tiers
+
     def semdedup_labels(spark, sf_dir):
         from ocr_devnagari_spark.operators.similarity import semdedup
         e = _t(spark, sf_dir, "embeddings").select(
@@ -1754,8 +1779,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every name in the priority list must exist (guarded below) so a
     # rename can't silently shrink the gate.
     priority = [
-        # -- the 40 never-driver-checked (r04 window tail) --
-        "repetition_gate", "pii_scrub", "para_dedup", "para_dedup_first",
+        # -- the never-driver-checked r04 window tail (para_dedup_first
+        #    folds into para_dedup: same module, same CTE shape — the
+        #    VERDICT's fold-redundant-pairs rule; it keeps its
+        #    both-SF pytest oracle) --
+        "repetition_gate", "pii_scrub", "para_dedup",
         "decontaminate", "curate_report", "authority_mix", "blocklist_gate",
         "normalize_docs", "compression_signal", "script_matrix",
         "lang_confidence", "token_histogram", "domain_report", "url_spam",
@@ -1770,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/upgraded this round (needs fresh driver evidence) --
         "url_domain_stats", "curate_full_report",
         "quality_classifier", "dsir_weights", "semdedup_labels",
+        "lm_tiers",
         # -- core reference-surface representatives (green in r03+r04;
         #    trimmed to keep the window at 50 — p2_validate,
         #    a2_cost_summary and j1_resume_antijoin have two rounds of
@@ -2730,6 +2759,45 @@ def _dsir_weights_sql(hash_bucket_sql, n_buckets: int = 256) -> str:
         "LEFT JOIN dw USING (doc_id)")
 
 
+def _lm_tiers_sql(hash_bucket_sql, n_buckets: int = 256) -> str:
+    """Mirror of ``lm_tiers``: hashed-unigram LM trained on the
+    doc_id % 101 = 0 target slice, per-document cross-entropy via exact
+    micro-unit sums, CCNet head/middle/tail routing at LM_TIER_CUTS,
+    min/max aggregates (selections — no float sums to diverge)."""
+    grams = ("unnest([array_to_string(ws[i:i+0], ' ') for i in "
+             "generate_series(1, greatest(len(ws), 0))])")
+    bkt = hash_bucket_sql("g", n_buckets)
+    nb = float(n_buckets)
+    lo, hi = LM_TIER_CUTS
+    return (
+        "WITH tg AS (SELECT " + grams + " AS g FROM ("
+        "SELECT string_split(text, ' ') AS ws FROM documents "
+        "WHERE doc_id % 101 = 0)), "
+        "rg AS (SELECT doc_id, " + grams + " AS g FROM ("
+        "SELECT doc_id, string_split(text, ' ') AS ws FROM documents "
+        "WHERE doc_id % 101 <> 0)), "
+        f"tc AS (SELECT {bkt} AS bucket, count(*) AS c "
+        "FROM tg GROUP BY 1), "
+        "lp AS (SELECT b.bucket, CAST(round("
+        "ln((coalesce(t.c, 0) + 1.0) / "
+        f"((SELECT coalesce(sum(c), 0) FROM tc) + {nb!r})) "
+        "* 1000000.0) AS BIGINT) AS lpm "
+        f"FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) "
+        "AS bucket) b LEFT JOIN tc t ON b.bucket = t.bucket), "
+        "dce AS (SELECT doc_id, count(*) AS ng, "
+        "-(CAST(sum(lpm) AS DOUBLE) / 1000000.0) / count(*) AS ce "
+        f"FROM (SELECT doc_id, {bkt} AS bucket FROM rg) j "
+        "JOIN lp USING (bucket) GROUP BY doc_id), "
+        "ced AS (SELECT d.doc_id, dce.ce FROM ("
+        "SELECT doc_id FROM documents WHERE doc_id % 101 <> 0) d "
+        "LEFT JOIN dce USING (doc_id)) "
+        "SELECT CASE WHEN ce IS NULL THEN 'tail' "
+        f"WHEN ce <= {lo!r} THEN 'head' "
+        f"WHEN ce <= {hi!r} THEN 'middle' ELSE 'tail' END AS tier, "
+        "count(*) AS n_docs, min(ce) AS min_ce, max(ce) AS max_ce "
+        "FROM ced GROUP BY 1")
+
+
 def _semdedup_sql() -> str:
     """Mirror of the ``semdedup_labels`` driver query: label-clustered
     greedy keeper scan at tau = SEMDEDUP_TAU over the embeddings table
@@ -3127,4 +3195,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "dsir_weights": _dsir_weights_sql(hash_bucket_sql),
         "semdedup_labels": _semdedup_sql(),
+        "lm_tiers": _lm_tiers_sql(hash_bucket_sql),
     }

@@ -109,6 +109,38 @@ def linear_quality_score(df: DataFrame, weights, bias: float = 0.0,
                     (score >= threshold).alias("keep")))
 
 
+def _check_model_params(n_buckets: int, alpha: float) -> None:
+    if not 1 <= n_buckets <= 16_777_216:
+        # the model table is a driver-side list and must broadcast;
+        # 2^24 buckets ≈ 400 MB of rows is already past sensible —
+        # DSIR/CCNet papers use 10^4-10^6
+        raise ValueError("n_buckets must be in [1, 2^24]")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+
+
+def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
+                   text_col: str) -> DataFrame:
+    """(bucket, c) hashed-n-gram counts — one explode→groupBy aggregate
+    (map-side partial sums, ≤ ``n_buckets`` final rows); at 10^12 rows
+    this is the cheapest possible full-corpus statistic."""
+    return (df.select(F.explode(
+                word_ngrams(F.col(text_col), n)).alias("g"))
+            .select(hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def _micro6(x: float) -> int:
+    """HALF_UP micro-units (1e-6) via the decimal repr (Spark's
+    BigDecimal rounding); the oracle's ``round(x * 1e6)`` agrees except
+    within one ulp of a half boundary, which ln outputs never land on —
+    Python's ``round()`` is banker's and is NOT used."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return int(Decimal(repr(x)).scaleb(6).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP))
+
+
 def dsir_bucket_logratios(target: DataFrame, raw: DataFrame,
                           n: int = 2, n_buckets: int = 4096,
                           alpha: float = 1.0,
@@ -124,42 +156,21 @@ def dsir_bucket_logratios(target: DataFrame, raw: DataFrame,
     any corpus.  The two inputs are each one explode→groupBy aggregate
     — at 10^12 rows that is the cheapest possible full-corpus statistic
     (map-side partial sums, ``n_buckets`` final rows)."""
-    if n_buckets < 1:
-        raise ValueError("n_buckets must be >= 1")
-    if alpha <= 0:
-        raise ValueError("alpha must be > 0 (smoothing)")
+    _check_model_params(n_buckets, alpha)
     spark = target.sparkSession
-
-    def counts(df: DataFrame) -> DataFrame:
-        return (df.select(F.explode(
-                    word_ngrams(F.col(text_col), n)).alias("g"))
-                .select(hash_bucket(F.col("g"), n_buckets)
-                        .alias("bucket"))
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("c")))
+    import math
 
     # totals ride the same tiny aggregates — no extra corpus pass
-    tc = counts(target).collect()
-    rc = counts(raw).collect()
+    tc = _bucket_counts(target, n, n_buckets, text_col).collect()
+    rc = _bucket_counts(raw, n, n_buckets, text_col).collect()
     nt = sum(r["c"] for r in tc)
     nr = sum(r["c"] for r in rc)
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def m6(x: float) -> int:
-        # HALF_UP micro-units via the decimal repr (Spark's BigDecimal
-        # rounding); the oracle's round(x * 1e6) agrees except within
-        # one ulp of a half boundary, which ln outputs never land on —
-        # Python's round() is banker's and is NOT used
-        return int(Decimal(repr(x)).scaleb(6).quantize(
-            Decimal(1), rounding=ROUND_HALF_UP))
-
     tmap = {r["bucket"]: r["c"] for r in tc}
     rmap = {r["bucket"]: r["c"] for r in rc}
     denom_t = nt + alpha * n_buckets
     denom_r = nr + alpha * n_buckets
-    micros = [(b, m6(math.log((tmap.get(b, 0) + alpha) / denom_t)
-                     - math.log((rmap.get(b, 0) + alpha) / denom_r)))
+    micros = [(b, _micro6(math.log((tmap.get(b, 0) + alpha) / denom_t)
+                          - math.log((rmap.get(b, 0) + alpha) / denom_r)))
               for b in range(n_buckets)]
     rows = [(b, m, m / 1e6) for b, m in micros]
     return spark.createDataFrame(
@@ -208,3 +219,89 @@ def dsir_weights(docs: DataFrame, target: DataFrame, n: int = 2,
                     .alias("n_grams"),
                     (F.coalesce(F.col("_wm"), F.lit(0)).cast("double")
                      / F.lit(1000000.0)).alias("weight")))
+
+
+def lm_bucket_logprobs(target: DataFrame, n: int = 1,
+                       n_buckets: int = 4096, alpha: float = 1.0,
+                       text_col: str = "text") -> DataFrame:
+    """(bucket, logprob_micro, logprob) — a hashed-n-gram language
+    model trained on the TARGET corpus (the CCNet construction, Wenzek
+    et al. 2020, with hashed buckets standing in for the KenLM
+    vocabulary): add-α-smoothed bucket probability ``p(b) = (c(b) + α)
+    / (N + α·n_buckets)``, quantized HALF_UP to integer micro-units of
+    ``ln p`` (the scoring.py exact-sum parity discipline).
+
+    Exactly ``n_buckets`` rows come out, so the model broadcasts onto
+    any corpus; training is one explode→groupBy aggregate."""
+    _check_model_params(n_buckets, alpha)
+    import math
+    tc = _bucket_counts(target, n, n_buckets, text_col).collect()
+    nt = sum(r["c"] for r in tc)
+    tmap = {r["bucket"]: r["c"] for r in tc}
+    denom = nt + alpha * n_buckets
+    micros = [(b, _micro6(math.log((tmap.get(b, 0) + alpha) / denom)))
+              for b in range(n_buckets)]
+    rows = [(b, m, m / 1e6) for b, m in micros]
+    return target.sparkSession.createDataFrame(
+        rows, "bucket long, logprob_micro long, logprob double")
+
+
+def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
+                     n: int = 1, n_buckets: int = 4096,
+                     alpha: float = 1.0, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     logprobs: DataFrame | None = None) -> DataFrame:
+    """Per-document cross-entropy under the target LM — the CCNet
+    perplexity filter (perplexity = ``exp(cross_entropy)`` is monotone
+    in it, so the tier thresholds translate directly).
+
+    Returns ``(id_col, n_grams, cross_entropy)`` for EVERY document:
+    ``cross_entropy = -((Σ_gram logprob_micro) / 1e6) / n_grams`` with
+    gram multiplicity — exact integer sum, two deterministic divisions,
+    bit-identical on any engine or addition order.  Documents with no
+    n-grams get NULL (undefined; route them with an explicit policy —
+    CCNet's tail).  Lower is better (closer to the target corpus);
+    compose with :func:`ccnet_tier` for head/middle/tail routing.
+
+    Pass a precomputed ``logprobs`` (:func:`lm_bucket_logprobs`) to
+    amortize the model; otherwise ``target`` is required."""
+    if logprobs is None:
+        if target is None:
+            raise ValueError("either target or logprobs is required")
+        logprobs = lm_bucket_logprobs(target, n, n_buckets, alpha,
+                                      text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    joined = (grams
+              .select(F.col(id_col),
+                      hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+              .join(F.broadcast(logprobs.select("bucket",
+                                                "logprob_micro")),
+                    on="bucket", how="inner")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("logprob_micro").alias("_sm")))
+    spine = docs.select(id_col)
+    ce = (-(F.col("_sm").cast("double") / F.lit(1000000.0))
+          / F.col("n_grams").cast("double"))
+    return (spine.join(joined, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    ce.alias("cross_entropy")))
+
+
+def ccnet_tier(ce, head_max: float, middle_max: float):
+    """head/middle/tail tier column from a cross-entropy column — the
+    CCNet quality routing (head = closest to the target LM).  NULL
+    cross-entropy (no n-grams) routes to 'tail'.  CCNet derives the two
+    cutpoints as corpus-level perplexity terciles — compute them
+    upstream with ``approxQuantile`` (scale path) or pin constants for
+    reproducible runs (the driver-gate discipline)."""
+    if not head_max <= middle_max:
+        raise ValueError("head_max must be <= middle_max")
+    return (F.when(ce.isNull(), F.lit("tail"))
+            .when(ce <= head_max, F.lit("head"))
+            .when(ce <= middle_max, F.lit("middle"))
+            .otherwise(F.lit("tail")))

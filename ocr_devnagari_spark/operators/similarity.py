@@ -530,7 +530,8 @@ def semdedup(emb: DataFrame, tau: float = 0.8,
     semantics, reproducible on any cluster size.
 
     ``cluster_col`` uses an existing column as the clustering (any
-    precomputed partition — IVF cell, LSH bucket, label); otherwise
+    precomputed partition — IVF cell, LSH bucket, label); rows whose
+    cluster is NULL join nothing and are always kept.  Otherwise
     k-means (``kmeans_centroids``) assigns one, with ``centroids``
     accepted precomputed to amortize training (the ``build_ann_index``
     discipline).

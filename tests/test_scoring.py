@@ -9,9 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_devnagari_spark.operators.scoring import (
+    ccnet_tier,
     dsir_bucket_logratios,
     dsir_weights,
     linear_quality_score,
+    lm_bucket_logprobs,
+    lm_cross_entropy,
 )
 from ocr_devnagari_spark.operators.similarity import semdedup
 
@@ -139,6 +142,98 @@ def test_dsir_rejects_bad_params(spark):
         dsir_bucket_logratios(df, df, n_buckets=0)
     with pytest.raises(ValueError):
         dsir_bucket_logratios(df, df, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# CCNet LM cross-entropy
+# ---------------------------------------------------------------------------
+
+def _brute_lm_ce(n=1, n_buckets=64, alpha=1.0):
+    from decimal import ROUND_HALF_UP, Decimal
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def grams(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)] \
+            if len(ws) >= n else []
+
+    tb = [bucket(g) for _, t in TARGET for g in grams(t)]
+    denom = len(tb) + alpha * n_buckets
+    lpm = {}
+    for b in range(n_buckets):
+        x = math.log((tb.count(b) + alpha) / denom)
+        lpm[b] = int(Decimal(repr(x)).scaleb(6).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+    out = {}
+    for i, t in RAW:
+        gs = grams(t)
+        if not gs:
+            out[i] = (0, None)
+        else:
+            s = sum(lpm[bucket(g)] for g in gs)
+            out[i] = (len(gs), -(s / 1e6) / len(gs))
+    return out
+
+
+def test_lm_cross_entropy_matches_brute_force(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           lm_cross_entropy(raw, target, n=1, n_buckets=64).collect()}
+    want = _brute_lm_ce()
+    assert set(got) == set(want)
+    for i, (n_grams, ce) in want.items():
+        assert got[i]["n_grams"] == n_grams, i
+        assert got[i]["cross_entropy"] == ce, i   # exact — micro sums
+    # the target-identical doc is closest to the LM
+    assert got[0]["cross_entropy"] < got[1]["cross_entropy"]
+    # single-word doc DOES have one unigram; an empty-text doc has none
+    assert got[3]["n_grams"] == 1
+
+
+def test_lm_empty_doc_null_ce_routes_tail(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    # bigram LM: a one-word doc has no bigrams → NULL cross-entropy
+    raw = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    r = lm_cross_entropy(raw, target, n=2, n_buckets=64).collect()[0]
+    assert r["n_grams"] == 0 and r["cross_entropy"] is None
+    tiered = (lm_cross_entropy(raw, target, n=2, n_buckets=64)
+              .select(ccnet_tier(F.col("cross_entropy"), 1.0, 2.0)
+                      .alias("tier")).collect())
+    assert tiered[0]["tier"] == "tail"
+
+
+def test_lm_precomputed_logprobs_path(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    lp = lm_bucket_logprobs(target, n=1, n_buckets=64)
+    assert lp.count() == 64
+    a = sorted(lm_cross_entropy(raw, target, n=1, n_buckets=64).collect())
+    b = sorted(lm_cross_entropy(raw, n=1, n_buckets=64,
+                                logprobs=lp).collect())
+    assert a == b
+
+
+def test_lm_requires_target_or_logprobs(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_cross_entropy(raw)
+    with pytest.raises(ValueError):
+        ccnet_tier(F.col("x"), 2.0, 1.0)
+
+
+def test_ccnet_tier_routing(spark):
+    df = spark.createDataFrame(
+        [(0, 0.5), (1, 1.0), (2, 1.5), (3, 2.0), (4, 2.5), (5, None)],
+        "doc_id long, ce double")
+    got = {r["doc_id"]: r["tier"] for r in df.select(
+        "doc_id", ccnet_tier(F.col("ce"), 1.0, 2.0).alias("tier"))
+        .collect()}
+    assert got == {0: "head", 1: "head", 2: "middle", 3: "middle",
+                   4: "tail", 5: "tail"}
 
 
 # ---------------------------------------------------------------------------
