@@ -121,6 +121,13 @@ SEMDEDUP_TAU = 0.8
 # these from corpus quantiles; the gate pins them for reproducibility
 LM_TIER_CUTS = (3.88, 3.92)
 
+# 12-token boilerplate appended to every 10th document for the
+# ExactSubstr gate: its 5 internal 8-token windows are duplicated
+# across all spiked docs, so exactly these 12 tokens are removed
+# (boundary windows include doc-specific prefixes and stay unique)
+SUBSTR_BOILER = ("all rights reserved terms of service apply "
+                 "contact support for licensing details")
+
 
 def _wrapped_pages(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1735,6 +1742,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_weights(raw, target, n=2, n_buckets=256)
     q["dsir_weights"] = dsir_weights_q
 
+    def exact_substr(spark, sf_dir):
+        from ocr_devnagari_spark.operators.substrdedup import (
+            exact_substring_dedup,
+        )
+        _ensure_shipped(spark)   # Arrow rebuild imports the package
+        d = _t(spark, sf_dir, "documents")
+        spiked = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.col("text"), F.lit(" " + SUBSTR_BOILER)))
+            .otherwise(F.col("text")).alias("text"))
+        return exact_substring_dedup(spiked, min_len=8)
+    q["exact_substr"] = exact_substr
+
     def lm_tiers(spark, sf_dir):
         from ocr_devnagari_spark.operators.scoring import (
             ccnet_tier,
@@ -1798,13 +1819,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/upgraded this round (needs fresh driver evidence) --
         "url_domain_stats", "curate_full_report",
         "quality_classifier", "dsir_weights", "semdedup_labels",
-        "lm_tiers",
+        "lm_tiers", "exact_substr",
         # -- core reference-surface representatives (green in r03+r04;
         #    trimmed to keep the window at 50 — p2_validate,
-        #    a2_cost_summary and j1_resume_antijoin have two rounds of
-        #    standing driver evidence each) --
+        #    a2_cost_summary, j1_resume_antijoin and sim_cosine_topk
+        #    have two rounds of standing driver evidence each, and the
+        #    similarity family keeps semdedup_labels + neardup_prune
+        #    in-window) --
         "extract_wrapped", "m6_critical", "m5_route_stats",
-        "dedup_minhash", "sim_cosine_topk",
+        "dedup_minhash",
     ]
     missing = [k for k in priority if k not in q]
     assert not missing, f"gate-priority names not registered: {missing}"
@@ -2818,6 +2841,44 @@ def _semdedup_sql() -> str:
         "FROM v LEFT JOIN drops d ON v.id = d.id")
 
 
+def _exact_substr_sql(min_len: int = 8) -> str:
+    """Mirror of ``exact_substr`` (ExactSubstr dedup, Lee et al. 2022,
+    over the boilerplate-spiked corpus): rolling ``min_len``-token
+    windows → contents occurring ≥2× anywhere → every covered token
+    index (DISTINCT over overlapping windows) → complement rebuild via
+    per-index anti-join + ordered string_agg.  Documents with nothing
+    duplicated fall out of ``clean`` only if fully covered, hence the
+    COALESCE('') on the left join."""
+    n1 = min_len - 1
+    return (
+        "WITH spiked AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 "
+        f"THEN text || ' {SUBSTR_BOILER}' ELSE text END AS text "
+        "FROM documents), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM spiked), "
+        "pos AS (SELECT doc_id, "
+        f"unnest(generate_series(1, len(ws) - {n1})) AS p0 FROM toks), "
+        "wins AS (SELECT p.doc_id, p.p0 - 1 AS p, "
+        f"array_to_string(t.ws[p.p0:p.p0+{n1}], ' ') AS g "
+        "FROM pos p JOIN toks t USING (doc_id)), "
+        "dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, i FROM ("
+        f"SELECT w.doc_id, unnest(generate_series(w.p, w.p + {n1})) "
+        "AS i FROM wins w JOIN dup USING (g))), "
+        "kept AS (SELECT doc_id, j, w FROM ("
+        "SELECT doc_id, unnest(ws) AS w, "
+        "unnest(generate_series(1, len(ws))) AS j FROM toks) u "
+        "WHERE NOT EXISTS (SELECT 1 FROM cov c "
+        "WHERE c.doc_id = u.doc_id AND c.i = u.j - 1)), "
+        "clean AS (SELECT doc_id, "
+        "string_agg(w, ' ' ORDER BY j) AS text_clean, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens, "
+        "CAST(len(t.ws) - COALESCE(c.n_kept, 0) AS BIGINT) "
+        "AS n_removed, COALESCE(c.text_clean, '') AS text_clean "
+        "FROM toks t LEFT JOIN clean c USING (doc_id)")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.terms import tfidf_topk_sql
 
@@ -3196,4 +3257,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_weights_sql(hash_bucket_sql),
         "semdedup_labels": _semdedup_sql(),
         "lm_tiers": _lm_tiers_sql(hash_bucket_sql),
+        "exact_substr": _exact_substr_sql(),
     }
