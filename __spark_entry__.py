@@ -1277,6 +1277,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_bytes")
     q["multimodal_audio_decode"] = multimodal_audio_decode
 
+    # ---- multimodal REAL video container parse (from-scratch ISO
+    # BMFF, mp4box.py; rows-only by mechanism — box-tree walking has
+    # no SQL equivalent).  Each doc becomes a deterministic MP4 whose
+    # frame payloads derive from its text; the stage must recover the
+    # planted keyframes by parsing the real stbl tables. ----
+    def multimodal_video_sample(spark, sf_dir):
+        _ensure_shipped(spark)
+        from ocr_devnagari_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            frame_sample_stage,
+        )
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def to_mp4(batches):
+            import pandas as pd
+
+            from ocr_devnagari_spark.mp4box import encode_mp4
+            for pdf in batches:
+                recs = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    raw = (text or "").encode()[:96].ljust(96, b"\0")
+                    n = 4 + int(did) % 5
+                    frames = [raw[i::n] or b"\0" for i in range(n)]
+                    recs.append({
+                        "media_id": f"v{did}", "kind": "video",
+                        "payload": encode_mp4(
+                            frames, fps=5,
+                            chunking=[n - 2, 2] if n > 2 else None,
+                            sync_every=2),
+                        "mime": "video/mp4"})
+                yield pd.DataFrame(
+                    recs, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+        media = d.mapInPandas(to_mp4, MEDIA_SCHEMA)
+        return frame_sample_stage(media, every_ms=400, max_frames=3,
+                                  fake=False)
+    q["multimodal_video_sample"] = multimodal_video_sample
+
     # ---- Gopher A1.1 repetition signals (within-doc n-gram stats) ----
     def repetition_gate(spark, sf_dir):
         _ensure_shipped(spark)   # Arrow batch path imports the package

@@ -74,7 +74,8 @@ def main() -> None:
     for name in ("tpch_q1", "tpch_q3_top10", "dedup_minhash",
                  "sim_cosine_topk", "quality_scores", "m5_route_stats",
                  "repetition_gate", "curate_report", "curate_full_report",
-                 "quality_classifier", "dsir_weights"):
+                 "quality_classifier", "dsir_weights", "lm_tiers",
+                 "exact_substr"):
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()

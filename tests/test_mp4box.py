@@ -1,0 +1,142 @@
+"""ISO BMFF parser — encoder roundtrips, hand-built box edge cases,
+and the real (fake=False) frame-sampling stage."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from ocr_devnagari_spark.codecs import UnsupportedMediaError
+from ocr_devnagari_spark.mp4box import (
+    encode_mp4,
+    iter_boxes,
+    parse_mp4,
+    video_keyframes,
+)
+
+FRAMES = [bytes([i]) * (10 + 3 * i) for i in range(12)]   # distinct sizes
+
+
+def test_roundtrip_single_chunk():
+    raw = encode_mp4(FRAMES, fps=10, width=64, height=48, sync_every=4)
+    info = parse_mp4(raw)
+    assert info["brand"] == "isom"
+    assert info["timescale"] == 1000
+    assert info["duration_ms"] == 1200            # 12 frames @ 10 fps
+    (t,) = info["tracks"]
+    assert (t["handler"], t["codec"]) == ("vide", "mp4v")
+    assert (t["width"], t["height"]) == (64, 48)
+    ss = t["samples"]
+    assert len(ss) == 12
+    # back-to-back offsets, exact sizes, stts timestamps, stss flags
+    for i, s in enumerate(ss):
+        assert s["size"] == len(FRAMES[i])
+        assert raw[s["offset"]:s["offset"] + s["size"]] == FRAMES[i]
+        assert s["ts_ms"] == i * 100
+        assert s["sync"] == (i % 4 == 0)
+
+
+@pytest.mark.parametrize("chunking", [[12], [2, 3, 2, 5], [1] * 12,
+                                      [4, 4, 4]])
+@pytest.mark.parametrize("co64", [False, True])
+def test_roundtrip_chunkings_and_co64(chunking, co64):
+    raw = encode_mp4(FRAMES, chunking=chunking, use_co64=co64)
+    ss = parse_mp4(raw)["tracks"][0]["samples"]
+    assert [raw[s["offset"]:s["offset"] + s["size"]] for s in ss] == FRAMES
+
+
+def test_constant_size_stsz_path():
+    frames = [bytes([i]) * 20 for i in range(6)]
+    raw = encode_mp4(frames, chunking=[3, 3])
+    ss = parse_mp4(raw)["tracks"][0]["samples"]
+    assert [s["size"] for s in ss] == [20] * 6
+    assert [raw[s["offset"]:s["offset"] + 20] for s in ss] == frames
+
+
+def test_no_stss_means_all_sync():
+    raw = encode_mp4(FRAMES[:4])
+    # strip the stss box by rebuilding without it: easier — huge
+    # sync_every marks only frame 1; absent-stss semantics checked via
+    # a hand-edit that blanks the stss fourcc into a free box
+    raw = raw.replace(b"stss", b"free")
+    ss = parse_mp4(raw)["tracks"][0]["samples"]
+    assert all(s["sync"] for s in ss)
+
+
+def test_hostile_inputs_raise_not_hang():
+    for bad in (b"", b"\x00" * 7, b"mdat", b"\x00\x00\x00\x08ftyp",
+                bytes(64), b"\xff" * 1024):
+        with pytest.raises((UnsupportedMediaError, struct.error)):
+            parse_mp4(bad)
+    # truncated valid file: moov gone
+    raw = encode_mp4(FRAMES[:3])
+    with pytest.raises(UnsupportedMediaError):
+        parse_mp4(raw[:40])
+
+
+def test_box_walk_stops_on_bad_size():
+    # size field smaller than header: walker must terminate
+    data = b"\x00\x00\x00\x03abcd" + b"\x00" * 32
+    assert list(iter_boxes(data, 0, len(data))) == []
+
+
+def test_keyframe_selection_spacing_and_cap():
+    raw = encode_mp4(FRAMES, fps=10, sync_every=2)   # sync every 200ms
+    picked = video_keyframes(raw, every_ms=400, max_frames=3)
+    assert [p["ts_ms"] for p in picked] == [0, 400, 800]
+    assert [p["sample_idx"] for p in picked] == [0, 4, 8]
+    assert all(p["data"] == FRAMES[p["sample_idx"]] for p in picked)
+    # cap wins over spacing
+    assert len(video_keyframes(raw, every_ms=0, max_frames=2)) == 2
+
+
+def test_keyframes_skip_out_of_range_samples():
+    raw = encode_mp4(FRAMES, sync_every=1)
+    # lie in the stsz table: declare the last sample 1 MB long so its
+    # byte range runs past EOF — the sampler must skip it, not die
+    # stsz layout: fourcc, ver/flags(4), const(4), count(4), entries
+    last = raw.index(b"stsz") + 4 + 12 + 4 * (len(FRAMES) - 1)
+    patched = raw[:last] + struct.pack(">I", 10 ** 6) + raw[last + 4:]
+    picked = video_keyframes(patched, every_ms=0, max_frames=99)
+    assert [p["sample_idx"] for p in picked] == list(range(len(FRAMES) - 1))
+
+
+def test_video_feature_stage(spark):
+    from ocr_devnagari_spark.operators.multimodal import (
+        video_feature_stage,
+    )
+    raw = encode_mp4(FRAMES, fps=10, width=64, height=48, sync_every=4)
+    rows = [("v1", "video", bytearray(raw), "video/mp4"),
+            ("bad", "video", bytearray(b"\x00" * 32), None)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, mime string")
+    got = {r["media_id"]: r
+           for r in video_feature_stage(media).collect()}
+    v = got["v1"]
+    assert (v["duration_ms"], v["width"], v["height"]) == (1200, 64, 48)
+    assert (v["codec"], v["n_samples"], v["n_keyframes"]) == ("mp4v", 12, 3)
+    b = got["bad"]
+    assert b["n_bytes"] == 32 and b["codec"] is None
+    assert b["n_samples"] is None
+
+
+def test_frame_stage_real_path(spark):
+    from ocr_devnagari_spark.operators.multimodal import (
+        frame_sample_stage,
+    )
+    raw = encode_mp4(FRAMES, fps=10, sync_every=2)
+    rows = [("v1", "video", bytearray(raw), "video/mp4"),
+            ("bad", "video", bytearray(b"not a container"), None)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, mime string")
+    got = (frame_sample_stage(media, every_ms=400, max_frames=3,
+                              fake=False)
+           .orderBy("media_id", "frame_idx").collect())
+    assert [r["media_id"] for r in got] == ["v1"] * 3
+    assert [r["ts_ms"] for r in got] == [0, 400, 800]
+    want = [int.from_bytes(
+        hashlib.blake2b(FRAMES[i], digest_size=8).digest(),
+        "little", signed=True) for i in (0, 4, 8)]
+    assert [r["frame_phash"] for r in got] == want
