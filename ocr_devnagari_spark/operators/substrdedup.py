@@ -12,7 +12,9 @@ Spark-first re-expression is rolling windows → duplicate-hash buckets →
 interval subtraction:
 
 1. every document explodes to its ``min_len``-token rolling windows
-   (one row per window, md5-keyed — 128-bit, collision-negligible);
+   (one row per window, keyed by a 128-bit content hash —
+   collision-negligible; Arrow-batched BLAKE2b by default, md5 on the
+   pure-Catalyst variant);
 2. one groupBy finds window contents occurring ≥ 2 times;
 3. duplicated-window occurrences come back per document as the SORTED
    SET OF WINDOW STARTS (collect_set(p) — never the exploded covered
@@ -85,6 +87,43 @@ def _rebuild_udf(min_len: int):
         fn, "n_tokens long, n_removed long, text_clean string")
 
 
+def _window_hash_stage(docs: DataFrame, min_len: int, id_col: str,
+                       text_col: str) -> DataFrame:
+    """Arrow-batched rolling-window hashing: ``(id, p, h)`` with ``h``
+    a 16-byte BLAKE2b digest of the window content (collision-
+    negligible, half the bytes of md5-hex, and no per-window string
+    ever enters a Catalyst expression).  Measured ~2.5× the
+    HOF+md5 construction at sf0.1 — same uncodegen'd-lambda story as
+    the repetition family."""
+    from pyspark.sql import types as T
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField("p", T.IntegerType(), False),
+        T.StructField("h", T.BinaryType(), False),
+    ])
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            ids, ps, hs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                ws = text.split(" ")
+                for p in range(len(ws) - min_len + 1):
+                    ids.append(did)
+                    ps.append(p)
+                    hs.append(hashlib.blake2b(
+                        " ".join(ws[p:p + min_len]).encode(),
+                        digest_size=16).digest())
+            yield pd.DataFrame({id_col: ids, "p": ps, "h": hs})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
                           id_col: str = "doc_id",
                           text_col: str = "text",
@@ -100,13 +139,19 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
     (single-space split/rejoin is lossless, so ``text_clean`` equals
     the input text byte-for-byte for untouched documents).
 
-    ``impl='arrow'`` (default) rebuilds the surviving text in an
-    Arrow-batched UDF via difference-array interval subtraction —
-    O(tokens + duplicated windows) per document.  ``impl='jvm'`` keeps
-    a pure-Catalyst rebuild (covered-index array + indexed filter);
-    it is pinned equal by test but costs O(tokens × covered) per row
-    in an uncodegen'd lambda HOF, so use it only where the Python
-    worker path is unavailable.
+    ``impl='arrow'`` (default) hashes windows in an Arrow stage
+    (~2.5× the HOF+md5 construction, half the shuffle bytes per key)
+    and rebuilds the surviving text in an Arrow-batched UDF via
+    difference-array interval subtraction — O(tokens + duplicated
+    windows) per document.  ``impl='jvm'`` keeps a pure-Catalyst
+    pipeline (md5 over HOF-built grams, covered-index array + indexed
+    filter); it is pinned equal by test but costs O(tokens × covered)
+    per row in uncodegen'd lambda HOFs, so use it only where the
+    Python worker path is unavailable.  The window stream feeds both
+    the duplicate groupBy and the join probe: in the cluster regime
+    (sort-merge join) both consumers ride one ReusedExchange, so the
+    Arrow stage runs once; the small-input broadcast regime recomputes
+    it, which is exactly when it is cheap.
 
     Pick ``min_len`` ≈ 50 tokens for real corpora (the paper's
     setting); lower values remove natural repeated phrases, not just
@@ -114,14 +159,19 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
     """
     if min_len < 2:
         raise ValueError("min_len must be >= 2 tokens")
+    if impl not in ("arrow", "jvm"):
+        raise ValueError("impl must be 'arrow' or 'jvm'")
     toks = F.split(F.col(text_col), " ")
 
-    wins = (docs.select(
-                F.col(id_col),
-                F.posexplode(word_ngrams(F.col(text_col), min_len))
-                .alias("p", "g"))
-            .select(F.col(id_col), F.col("p"),
-                    F.md5(F.col("g")).alias("h")))
+    if impl == "arrow":
+        wins = _window_hash_stage(docs, min_len, id_col, text_col)
+    else:
+        wins = (docs.select(
+                    F.col(id_col),
+                    F.posexplode(word_ngrams(F.col(text_col), min_len))
+                    .alias("p", "g"))
+                .select(F.col(id_col), F.col("p"),
+                        F.md5(F.col("g")).alias("h")))
     dup_h = (wins.groupBy("h")
              .agg(F.count(F.lit(1)).alias("c"))
              .filter(F.col("c") >= 2)
@@ -143,8 +193,6 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
                         F.col("_r.n_tokens").alias("n_tokens"),
                         F.col("_r.n_removed").alias("n_removed"),
                         F.col("_r.text_clean").alias("text_clean")))
-    if impl != "jvm":
-        raise ValueError("impl must be 'arrow' or 'jvm'")
 
     cov = F.array_distinct(F.flatten(F.transform(
         F.col("_starts"),
