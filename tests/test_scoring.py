@@ -295,3 +295,40 @@ def test_semdedup_kmeans_path_drops_planted_dups(spark):
     # originals of the dups survive
     for i in range(3):
         assert got[i] is True
+
+
+# ---------------------------------------------------------------------------
+# Arrow vs Catalyst impl pins (shared md5-wheel, exact integer sums)
+# ---------------------------------------------------------------------------
+
+def test_dsir_impls_pinned_equal(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    a = sorted(map(tuple, dsir_weights(
+        raw, target, n=2, n_buckets=64, impl="arrow").collect()))
+    j = sorted(map(tuple, dsir_weights(
+        raw, target, n=2, n_buckets=64, impl="jvm").collect()))
+    assert a == j
+    with pytest.raises(ValueError):
+        dsir_weights(raw, target, n=2, n_buckets=64, impl="rdd")
+
+
+def test_lm_impls_pinned_equal(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW + [(4, "")],
+                                "doc_id long, text string")
+    a = sorted(map(tuple, lm_cross_entropy(
+        raw, target, n=2, n_buckets=64, impl="arrow").collect()))
+    j = sorted(map(tuple, lm_cross_entropy(
+        raw, target, n=2, n_buckets=64, impl="jvm").collect()))
+    assert a == j
+
+
+def test_bucket_counts_impls_pinned_equal(spark):
+    from ocr_devnagari_spark.operators.scoring import _bucket_counts
+    df = spark.createDataFrame(RAW, "doc_id long, text string")
+    a = sorted(map(tuple, _bucket_counts(df, 2, 64, "text",
+                                         impl="arrow").collect()))
+    j = sorted(map(tuple, _bucket_counts(df, 2, 64, "text",
+                                         impl="jvm").collect()))
+    assert a == j
