@@ -1851,7 +1851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct", "neardup_prune", "asof_events", "range_join_stats",
         "events_cube", "events_rollup", "events_stats", "events_top_user",
         "events_sessionize", "window_latest_order", "tpch_q5_region",
-        "multimodal_features", "multimodal_real_decode",
+        # multimodal_video_sample (real ISO BMFF parse) takes the slot
+        # of multimodal_features, whose fake-decoder plumbing is the
+        # least informative of the family now that all three real
+        # decode paths exist; features keeps its both-SF pytest row
+        "multimodal_video_sample", "multimodal_real_decode",
         "multimodal_audio_decode", "warc_roundtrip", "warc_cdx",
         "crawl_diff_report", "robots_sitemaps",
         # -- new/upgraded this round (needs fresh driver evidence) --

@@ -85,6 +85,8 @@ def _find(data: bytes, start: int, end: int, fourcc: bytes):
 
 def _full_box(data: bytes, p: int) -> tuple[int, int]:
     """(version, payload offset past version/flags)."""
+    if p + 4 > len(data):
+        raise UnsupportedMediaError("full box truncated at EOF")
     return data[p], p + 4
 
 
@@ -156,13 +158,21 @@ def _sample_table(data: bytes, stbl_p: int, stbl_e: int,
     sync = (set(_parse_u32_table(data, *boxes[b"stss"], width=4))
             if b"stss" in boxes else None)   # absent => every sample sync
 
-    # stsc runs -> samples-per-chunk for each actual chunk
+    # stsc runs -> samples-per-chunk for each actual chunk.  Hostile
+    # first_chunk values are clamped to the chunk table: a 2-entry stsc
+    # declaring a 4e9-chunk gap must cost O(len(chunk_offs)), not an
+    # O(gap) loop/allocation (chunks past the stco table are unusable
+    # anyway)
     spc = []
+    n_chunks = len(chunk_offs)
     for ri, (first, count, _sdi) in enumerate(stsc):
-        last = (stsc[ri + 1][0] - 1 if ri + 1 < len(stsc)
-                else len(chunk_offs))
+        last = (stsc[ri + 1][0] - 1 if ri + 1 < len(stsc) else n_chunks)
+        first = max(first, len(spc) + 1)
+        last = min(last, n_chunks)
         for _c in range(first, last + 1):
             spc.append(count)
+        if len(spc) >= n_chunks:
+            break
     # decode timestamps from stts runs
     ts, t = [], 0
     for cnt, delta in stts:

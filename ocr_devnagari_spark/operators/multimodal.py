@@ -162,7 +162,8 @@ def video_feature_stage(media: DataFrame) -> DataFrame:
                             n_samples=len(vid["samples"]),
                             n_keyframes=sum(
                                 1 for s in vid["samples"] if s["sync"]))
-                except (UnsupportedMediaError, _serr):
+                except (UnsupportedMediaError, _serr, IndexError,
+                        OverflowError):
                     pass
                 recs.append(rec)
             out = pd.DataFrame.from_records(recs)
@@ -230,7 +231,8 @@ def frame_sample_stage(media: DataFrame, every_ms: int = 1000,
                         picked = video_keyframes(
                             bytes(payload or b""), every_ms=every_ms,
                             max_frames=max_frames)
-                    except (UnsupportedMediaError, struct_error):
+                    except (UnsupportedMediaError, struct_error,
+                            IndexError, OverflowError):
                         continue          # hostile/foreign payload
                     for s in picked:
                         fh = hashlib.blake2b(

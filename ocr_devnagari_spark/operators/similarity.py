@@ -525,9 +525,15 @@ def semdedup(emb: DataFrame, tau: float = 0.8,
     LSH bucket caps).
 
     Deterministic keeper rule (the exact-dedup lowest-id discipline): a
-    row is DROPPED iff some lower-``id_col`` row in the same cluster has
-    ``round(cosine, 6) >= tau`` with it — the greedy scan-in-id-order
-    semantics, reproducible on any cluster size.
+    row is DROPPED iff ANY lower-``id_col`` row in the same cluster has
+    ``round(cosine, 6) >= tau`` with it — including lower-id rows that
+    are themselves dropped.  NOTE this deletes MORE than a sequential
+    greedy scan would on similarity chains (A~B, B~C, A≁C: a scan
+    comparing only against kept rows keeps C; this rule drops it): one
+    data-parallel self-join instead of an inherently sequential
+    per-cluster peel, reproducible on any cluster size, and the
+    conservative direction for dedup (never keeps something a scan
+    would drop).
 
     ``cluster_col`` uses an existing column as the clustering (any
     precomputed partition — IVF cell, LSH bucket, label); rows whose

@@ -140,3 +140,37 @@ def test_frame_stage_real_path(spark):
         hashlib.blake2b(FRAMES[i], digest_size=8).digest(),
         "little", signed=True) for i in (0, 4, 8)]
     assert [r["frame_phash"] for r in got] == want
+
+
+def test_truncated_stts_at_eof_raises_unsupported_not_indexerror():
+    # moov>trak>mdia>minf>stbl whose stts is a bare 8-byte header
+    # ending exactly at EOF: _full_box must raise UnsupportedMediaError
+    # (the never-die stages catch it), never IndexError
+    from ocr_devnagari_spark.mp4box import _U32, _box, _full
+    stsz = _full(b"stsz", 0, _U32.pack(5) + _U32.pack(1))
+    stsc = _full(b"stsc", 0, _U32.pack(1) + _U32.pack(1) * 3)
+    stco = _full(b"stco", 0, _U32.pack(1) + _U32.pack(40))
+    stts_trunc = _U32.pack(8) + b"stts"          # header only
+    stbl = _box(b"stbl", stsz + stsc + stco + stts_trunc)
+    mdhd = _full(b"mdhd", 0, _U32.pack(0) * 2 + _U32.pack(1000)
+                 + _U32.pack(0) + struct.pack(">HH", 0, 0))
+    hdlr = _full(b"hdlr", 0, _U32.pack(0) + b"vide" + b"\x00" * 12)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    moov = _box(b"moov", _box(b"trak", mdia))
+    with pytest.raises(UnsupportedMediaError):
+        parse_mp4(moov)
+
+
+def test_hostile_stsc_gap_is_bounded():
+    # a 2-entry stsc declaring a ~4e9 first_chunk gap must cost
+    # O(chunks), not an O(gap) loop/allocation
+    import time
+    raw = encode_mp4(FRAMES, chunking=[1, 11])
+    entries = raw.index(b"stsc") + 4 + 8         # ver/flags + count
+    second_first_chunk = entries + 12            # after run 0
+    patched = (raw[:second_first_chunk] + struct.pack(">I", 0xFFFFFF00)
+               + raw[second_first_chunk + 4:])
+    t0 = time.monotonic()
+    ss = parse_mp4(patched)["tracks"][0]["samples"]
+    assert time.monotonic() - t0 < 1.0
+    assert len(ss) <= len(FRAMES)
