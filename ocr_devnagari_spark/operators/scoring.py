@@ -408,6 +408,24 @@ def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
                     ce.alias("cross_entropy")))
 
 
+def ccnet_tier_cuts(scored: DataFrame, ce_col: str = "cross_entropy",
+                    rel_err: float = 0.001) -> tuple[float, float]:
+    """Derive the head/middle/tail cutpoints as the corpus
+    cross-entropy TERCILES — CCNet's prescription (Wenzek et al. 2020
+    split their perplexity distribution in equal thirds per language).
+
+    Runs ONE ``approxQuantile`` pass (Greenwald-Khanna sketch:
+    map-side partials, driver gets two doubles — the corpus never
+    collects).  NULL cross-entropies (no-gram documents) are excluded,
+    matching :func:`ccnet_tier`'s explicit NULL→tail route.  The
+    sketch is deterministic for a fixed partitioning but NOT across
+    repartitionings at ``rel_err > 0`` — pin the returned constants
+    (the driver-gate discipline) for reproducible reruns."""
+    lo, hi = scored.filter(F.col(ce_col).isNotNull()).approxQuantile(
+        ce_col, [1 / 3, 2 / 3], rel_err)
+    return lo, hi
+
+
 def ccnet_tier(ce, head_max: float, middle_max: float):
     """head/middle/tail tier column from a cross-entropy column — the
     CCNet quality routing (head = closest to the target LM).  NULL

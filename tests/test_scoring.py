@@ -332,3 +332,23 @@ def test_bucket_counts_impls_pinned_equal(spark):
     j = sorted(map(tuple, _bucket_counts(df, 2, 64, "text",
                                          impl="jvm").collect()))
     assert a == j
+
+
+def test_ccnet_tier_cuts_terciles(spark):
+    from ocr_devnagari_spark.operators.scoring import (
+        ccnet_tier,
+        ccnet_tier_cuts,
+    )
+    rows = [(i, float(i)) for i in range(90)] + [(90, None), (91, None)]
+    df = spark.createDataFrame(rows, "doc_id long, cross_entropy double")
+    lo, hi = ccnet_tier_cuts(df, rel_err=0.0)    # exact quantiles
+    assert lo <= hi
+    tiers = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", ccnet_tier(F.col("cross_entropy"), lo, hi)
+        .alias("t")).collect()}
+    counts = {t: sum(1 for v in tiers.values() if v == t)
+              for t in ("head", "middle", "tail")}
+    # terciles of 90 non-null docs -> ~30 per tier; NULLs route tail
+    assert counts["head"] == 30
+    assert counts["tail"] >= 30 + 2
+    assert tiers[90] == "tail" and tiers[91] == "tail"
