@@ -130,7 +130,11 @@ def main() -> None:
         f"{spark_res[c]['docs_per_sec']} | {mp_res[c]['docs_per_sec']} | "
         f"{round(spark_res[c]['docs_per_sec']/mp_res[c]['docs_per_sec'], 3)} |"
         for c in levels)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # SCALING_LAST.md, not BASELINE.md: BASELINE.md is the curated
+    # record (cleanest-phase tables + per-round addenda) and a rerun in
+    # a noisy hypervisor phase must never clobber it — fold fresh
+    # numbers in by hand when they beat or contextualize the record
+    with open("BENCH/SCALING_LAST.md", "w") as f:
         f.write(f"""# BENCH — measured scaling evidence (north rule: N vs 4N)
 
 Job: fused hybrid extraction (parquet scan → Arrow-batched ``mapInPandas``
