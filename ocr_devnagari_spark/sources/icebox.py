@@ -187,6 +187,50 @@ class IceboxTable:
             raise FileNotFoundError(f"no current snapshot in {self.path}")
         return spark.read.parquet(*m["files"])
 
+    # -- time travel (Iceberg ``VERSION AS OF`` parity) ----------------------
+    def snapshots(self) -> list[dict]:
+        """The REACHABLE snapshot chain, newest first — the
+        ``table.history()`` analog.  Reachability from ``_current`` via
+        parent links (not filename order) defines membership, the same
+        liveness rule ``expire_snapshots`` collects by: a crashed
+        commit's orphan manifest was never visible and is not
+        history."""
+        mdir = os.path.join(self.path, "manifests")
+        out, walk = [], self.current_manifest()
+        while walk is not None:
+            out.append(walk)
+            parent_id = walk.get("parent_snapshot_id")
+            if parent_id is None:
+                break
+            ppath = os.path.join(mdir, f"manifest-{parent_id:08d}.json")
+            if not os.path.exists(ppath):
+                break                      # expired past this point
+            with open(ppath) as f:
+                walk = json.load(f)
+        return out
+
+    def manifest_at(self, snapshot_id: int) -> dict | None:
+        """The manifest of ``snapshot_id`` if still reachable, else
+        None (expired snapshots are gone — Iceberg semantics)."""
+        for m in self.snapshots():
+            if m["snapshot_id"] == snapshot_id:
+                return m
+        return None
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the table exactly as of ``snapshot_id``
+        (``spark.read.option("snapshot-id", ...)`` parity).  Raises
+        ``FileNotFoundError`` for expired/unknown ids.  Lineage rows
+        record the input snapshot id (plans/pipeline.py), so any past
+        run's exact input is re-readable until expiry — the
+        reproducibility half of the resume story."""
+        m = self.manifest_at(snapshot_id)
+        if m is None or not m["files"]:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not reachable in {self.path} "
+                "(expired or never committed)")
+        return spark.read.parquet(*m["files"])
+
     def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:
         m = self.current_manifest()
         if m is None or not m["files"]:

@@ -367,3 +367,36 @@ def test_expire_snapshots(spark, work_root):
     removed = t.expire_snapshots(keep_last=1, grace_seconds=0)
     assert removed > 0
     assert t.read(spark).count() == 5
+
+
+def test_time_travel_read_at(spark, work_root):
+    import pytest
+    t = IceboxTable(f"{work_root}/tbl")
+    t.append(spark.range(5).withColumnRenamed("id", "k"), job_token="a")
+    t.append(spark.range(5, 12).withColumnRenamed("id", "k"),
+             job_token="b")
+    t.append(spark.range(12, 15).withColumnRenamed("id", "k"),
+             job_token="c")
+    assert [m["snapshot_id"] for m in t.snapshots()] == [3, 2, 1]
+    assert t.read_at(spark, 1).count() == 5
+    assert t.read_at(spark, 2).count() == 12
+    assert t.read_at(spark, 3).count() == 15
+    # each historical read is the exact rowset, not just a count
+    assert sorted(r.k for r in t.read_at(spark, 2).collect()) \
+        == list(range(12))
+    with pytest.raises(FileNotFoundError):
+        t.read_at(spark, 99)
+
+
+def test_time_travel_respects_expiry(spark, work_root):
+    import pytest
+    t = IceboxTable(f"{work_root}/tbl")
+    for lo, hi, tok in ((0, 5, "a"), (5, 9, "b"), (9, 10, "c")):
+        t.append(spark.range(lo, hi).withColumnRenamed("id", "k"),
+                 job_token=tok)
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)
+    assert [m["snapshot_id"] for m in t.snapshots()] == [3]
+    assert t.manifest_at(1) is None
+    with pytest.raises(FileNotFoundError):
+        t.read_at(spark, 1)
+    assert t.read_at(spark, 3).count() == 10       # current still fine
