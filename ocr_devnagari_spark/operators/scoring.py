@@ -421,9 +421,13 @@ def ccnet_tier_cuts(scored: DataFrame, ce_col: str = "cross_entropy",
     sketch is deterministic for a fixed partitioning but NOT across
     repartitionings at ``rel_err > 0`` — pin the returned constants
     (the driver-gate discipline) for reproducible reruns."""
-    lo, hi = scored.filter(F.col(ce_col).isNotNull()).approxQuantile(
+    qs = scored.filter(F.col(ce_col).isNotNull()).approxQuantile(
         ce_col, [1 / 3, 2 / 3], rel_err)
-    return lo, hi
+    if len(qs) < 2:          # approxQuantile returns [] on no non-NULLs
+        raise ValueError(
+            f"no non-NULL {ce_col!r} values to derive terciles from "
+            "(empty corpus, or every document had zero n-grams)")
+    return qs[0], qs[1]
 
 
 def ccnet_tier(ce, head_max: float, middle_max: float):

@@ -65,21 +65,12 @@ class IceboxTable:
         ``token`` (walking parent links from the current snapshot).
         Lets a re-run heal work that depends on that snapshot's
         ``added_files`` (e.g. lineage written after the commit)."""
-        walk = self.current_manifest()
-        mdir = os.path.join(self.path, "manifests")
-        while walk is not None and token in walk.get("applied_tokens", []):
-            parent_id = walk.get("parent_snapshot_id")
-            if parent_id is None:
-                return walk
-            ppath = os.path.join(mdir, f"manifest-{parent_id:08d}.json")
-            if not os.path.exists(ppath):
-                return walk
-            with open(ppath) as f:
-                parent = json.load(f)
-            if token not in parent.get("applied_tokens", []):
-                return walk
-            walk = parent
-        return None
+        found = None
+        for m in self.snapshots():
+            if token not in m.get("applied_tokens", []):
+                break
+            found = m
+        return found
 
     def _commit(self, files: list, row_count: int, token: str | None) -> int:
         parent = self.current_manifest()
@@ -220,15 +211,24 @@ class IceboxTable:
     def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
         """Time-travel read: the table exactly as of ``snapshot_id``
         (``spark.read.option("snapshot-id", ...)`` parity).  Raises
-        ``FileNotFoundError`` for expired/unknown ids.  Lineage rows
-        record the input snapshot id (plans/pipeline.py), so any past
-        run's exact input is re-readable until expiry — the
-        reproducibility half of the resume story."""
+        ``FileNotFoundError`` for expired/unknown ids — including the
+        grace-window state where a young manifest survived
+        ``expire_snapshots`` but its (old) data files did not; the
+        file-existence check below turns that into the same clean
+        error instead of a deep scan failure.  Lineage rows record the
+        input snapshot id (plans/pipeline.py), so any past run's exact
+        input is re-readable until expiry — the reproducibility half
+        of the resume story."""
         m = self.manifest_at(snapshot_id)
         if m is None or not m["files"]:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} not reachable in {self.path} "
                 "(expired or never committed)")
+        gone = [f for f in m["files"] if not os.path.exists(f)]
+        if gone:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} data expired in {self.path} "
+                f"({len(gone)}/{len(m['files'])} files collected)")
         return spark.read.parquet(*m["files"])
 
     def read_or_empty(self, spark: SparkSession, schema) -> DataFrame:
@@ -274,24 +274,14 @@ class IceboxTable:
         cutoff = time.time() - max(grace_seconds, 0.0)
         mdir = os.path.join(self.path, "manifests")
         manifests = sorted(glob.glob(os.path.join(mdir, "manifest-*.json")))
-        live: list = []
-        cur = self.current_manifest()
-        by_id = {}
-        for mp in manifests:
-            with open(mp) as f:
-                by_id[json.load(f)["snapshot_id"]] = mp
-        walk = cur
-        while walk is not None and len(live) < max(keep_last, 1):
-            live.append(by_id[walk["snapshot_id"]])
-            parent_id = walk.get("parent_snapshot_id")
-            if parent_id is None or parent_id not in by_id:
-                break
-            with open(by_id[parent_id]) as f:
-                walk = json.load(f)
+        # liveness = the snapshots() reachability walk, ONE definition
+        live_manifests = self.snapshots()[:max(keep_last, 1)]
+        live = [os.path.join(
+                    mdir, f"manifest-{m['snapshot_id']:08d}.json")
+                for m in live_manifests]
         referenced = set()
-        for mp in live:
-            with open(mp) as f:
-                referenced.update(json.load(f)["files"])
+        for m in live_manifests:
+            referenced.update(m["files"])
         removed = 0
         for fp in glob.glob(os.path.join(self.path, "data", "*", "*.parquet")):
             if fp not in referenced and os.path.getmtime(fp) < cutoff:

@@ -400,3 +400,24 @@ def test_time_travel_respects_expiry(spark, work_root):
     with pytest.raises(FileNotFoundError):
         t.read_at(spark, 1)
     assert t.read_at(spark, 3).count() == 10       # current still fine
+
+
+def test_time_travel_grace_window_data_gone_raises_cleanly(spark, work_root):
+    import os
+    import pytest
+    t = IceboxTable(f"{work_root}/tbl")
+    t.append(spark.range(4).withColumnRenamed("id", "k"), job_token="a")
+    t.overwrite(spark.range(9).withColumnRenamed("id", "k"),
+                job_token="b")
+    # age snapshot 1's data past the grace window while its manifest
+    # (and snapshot 2, which is current) stay young
+    for f in t.manifest_at(1)["files"]:
+        os.utime(f, (1, 1))
+    t.expire_snapshots(keep_last=1, grace_seconds=3600.0)
+    # manifest chain still lists snapshot 1, but its data is collected:
+    # read_at must raise the documented FileNotFoundError, not a deep
+    # scan error
+    assert t.manifest_at(1) is not None
+    with pytest.raises(FileNotFoundError, match="data expired"):
+        t.read_at(spark, 1)
+    assert t.read_at(spark, 2).count() == 9
