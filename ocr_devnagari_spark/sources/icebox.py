@@ -23,6 +23,7 @@ drops in without touching the operators.
 from __future__ import annotations
 
 import glob
+import itertools
 import json
 import os
 import uuid
@@ -66,7 +67,7 @@ class IceboxTable:
         Lets a re-run heal work that depends on that snapshot's
         ``added_files`` (e.g. lineage written after the commit)."""
         found = None
-        for m in self.snapshots():
+        for m in self._walk_snapshots():   # lazy: stops at the boundary
             if token not in m.get("applied_tokens", []):
                 break
             found = m
@@ -179,17 +180,24 @@ class IceboxTable:
         return spark.read.parquet(*m["files"])
 
     # -- time travel (Iceberg ``VERSION AS OF`` parity) ----------------------
-    def snapshots(self) -> list[dict]:
-        """The REACHABLE snapshot chain, newest first — the
-        ``table.history()`` analog.  Reachability from ``_current`` via
-        parent links (not filename order) defines membership, the same
-        liveness rule ``expire_snapshots`` collects by: a crashed
-        commit's orphan manifest was never visible and is not
-        history."""
+    def _walk_snapshots(self):
+        """Lazy newest-first walk of the reachable snapshot chain.
+
+        Generator so early-stopping callers (``snapshot_for_token``
+        breaks at the first non-matching manifest, ``expire_snapshots``
+        takes ``keep_last``) read O(answer) manifest files, not
+        O(chain) — a long-grace table can retain hundreds of chained
+        manifests that GC may not remove yet.  A seen-id guard bounds
+        the walk if a corrupt/hand-edited ``parent_snapshot_id`` forms
+        a cycle: maintenance must terminate on exactly the damaged
+        tables it exists to clean up."""
         mdir = os.path.join(self.path, "manifests")
-        out, walk = [], self.current_manifest()
+        seen, walk = set(), self.current_manifest()
         while walk is not None:
-            out.append(walk)
+            if walk["snapshot_id"] in seen:
+                break                      # corrupt parent-link cycle
+            seen.add(walk["snapshot_id"])
+            yield walk
             parent_id = walk.get("parent_snapshot_id")
             if parent_id is None:
                 break
@@ -198,12 +206,20 @@ class IceboxTable:
                 break                      # expired past this point
             with open(ppath) as f:
                 walk = json.load(f)
-        return out
+
+    def snapshots(self) -> list[dict]:
+        """The REACHABLE snapshot chain, newest first — the
+        ``table.history()`` analog.  Reachability from ``_current`` via
+        parent links (not filename order) defines membership, the same
+        liveness rule ``expire_snapshots`` collects by: a crashed
+        commit's orphan manifest was never visible and is not
+        history."""
+        return list(self._walk_snapshots())
 
     def manifest_at(self, snapshot_id: int) -> dict | None:
         """The manifest of ``snapshot_id`` if still reachable, else
         None (expired snapshots are gone — Iceberg semantics)."""
-        for m in self.snapshots():
+        for m in self._walk_snapshots():
             if m["snapshot_id"] == snapshot_id:
                 return m
         return None
@@ -220,10 +236,15 @@ class IceboxTable:
         input is re-readable until expiry — the reproducibility half
         of the resume story."""
         m = self.manifest_at(snapshot_id)
-        if m is None or not m["files"]:
+        if m is None:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} not reachable in {self.path} "
                 "(expired or never committed)")
+        if not m["files"]:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} in {self.path} is reachable "
+                "but empty (zero data files); use read_or_empty for a "
+                "typed empty DataFrame")
         gone = [f for f in m["files"] if not os.path.exists(f)]
         if gone:
             raise FileNotFoundError(
@@ -275,7 +296,9 @@ class IceboxTable:
         mdir = os.path.join(self.path, "manifests")
         manifests = sorted(glob.glob(os.path.join(mdir, "manifest-*.json")))
         # liveness = the snapshots() reachability walk, ONE definition
-        live_manifests = self.snapshots()[:max(keep_last, 1)]
+        # (lazy islice: reads keep_last manifests, not the whole chain)
+        live_manifests = list(itertools.islice(
+            self._walk_snapshots(), max(keep_last, 1)))
         live = [os.path.join(
                     mdir, f"manifest-{m['snapshot_id']:08d}.json")
                 for m in live_manifests]

@@ -421,3 +421,40 @@ def test_time_travel_grace_window_data_gone_raises_cleanly(spark, work_root):
     with pytest.raises(FileNotFoundError, match="data expired"):
         t.read_at(spark, 1)
     assert t.read_at(spark, 2).count() == 9
+
+
+def test_snapshots_walk_terminates_on_parent_cycle(spark, work_root):
+    import json
+    import os
+    t = IceboxTable(f"{work_root}/tbl")
+    t.append(spark.range(3).withColumnRenamed("id", "k"), job_token="a")
+    t.append(spark.range(2).withColumnRenamed("id", "k"), job_token="b")
+    # corrupt snapshot 1 to point at snapshot 2 (a parent-link cycle —
+    # disk damage / hand-edited manifest); every walk-based API must
+    # terminate rather than hang, and GC must still run
+    m1 = os.path.join(t.path, "manifests", "manifest-00000001.json")
+    with open(m1) as f:
+        doc = json.load(f)
+    doc["parent_snapshot_id"] = 2
+    with open(m1, "w") as f:
+        json.dump(doc, f)
+    chain = t.snapshots()
+    assert [m["snapshot_id"] for m in chain] == [2, 1]   # each id once
+    assert t.manifest_at(99) is None
+    assert t.snapshot_for_token("a") is not None
+    t.expire_snapshots(keep_last=1, grace_seconds=0.0)   # terminates
+    assert t.read(spark).count() == 5   # appends accumulate: 3 + 2
+
+
+def test_read_at_empty_snapshot_distinct_error(spark, work_root):
+    import pytest
+    t = IceboxTable(f"{work_root}/tbl")
+    t.append(spark.range(3).withColumnRenamed("id", "k"), job_token="a")
+    # a zero-file snapshot (an overwrite still writes a schema-only part
+    # file, but commit_staged accepts an empty staged list) is REACHABLE
+    # but empty — the error must say so, not claim "not reachable"
+    sid = t._commit([], 0, token="b")
+    with pytest.raises(FileNotFoundError, match="empty"):
+        t.read_at(spark, sid)
+    with pytest.raises(FileNotFoundError, match="not reachable"):
+        t.read_at(spark, 99)

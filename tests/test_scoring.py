@@ -352,3 +352,15 @@ def test_ccnet_tier_cuts_terciles(spark):
     assert counts["head"] == 30
     assert counts["tail"] >= 30 + 2
     assert tiers[90] == "tail" and tiers[91] == "tail"
+
+
+def test_ccnet_tier_cuts_all_null_raises(spark):
+    import pytest
+
+    from ocr_devnagari_spark.operators.scoring import ccnet_tier_cuts
+    df = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, cross_entropy double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        ccnet_tier_cuts(df, rel_err=0.0)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        ccnet_tier_cuts(df.filter("doc_id < 0"), rel_err=0.0)
