@@ -1362,7 +1362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         ev = d.filter(F.col("doc_id") % 101 == 0).select("text")
         corpus = d.filter(F.col("doc_id") % 101 != 0)
-        return ngram_contamination(corpus, ev, n=8, broadcast_eval=True)
+        # prefilter='bloom' exercises the broadcast-bitset scale path in
+        # the gate; results are exact, so the oracle SQL is unchanged
+        return ngram_contamination(corpus, ev, n=8, broadcast_eval=True,
+                                   prefilter="bloom")
     q["decontaminate"] = decontaminate
 
     # ---- anchor-text top terms per destination host ----
@@ -1735,6 +1738,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kmv_estimate(d, "text", k=128)
     q["kmv_distinct"] = kmv_distinct
 
+    # ---- exact heavy-hitter words (two-pass Misra-Gries + recount) --
+    def heavy_hitters_q(spark, sf_dir):
+        _ensure_shipped(spark)             # MG pass 1 runs mapInPandas
+        from ocr_devnagari_spark.functions.sketches import heavy_hitters
+        from ocr_devnagari_spark.functions.terms import term_rows
+        d = _t(spark, sf_dir, "documents")
+        words = term_rows(d).select(F.col("term").alias("w"))
+        return heavy_hitters(words, "w", k=50)
+    q["heavy_hitters"] = heavy_hitters_q
+
     # ---- quality-weighted sampling (Efraimidis–Spirakis, determin.) --
     def weighted_sample_q(spark, sf_dir):
         from ocr_devnagari_spark.functions.splits import weighted_sample
@@ -1849,7 +1862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components", "anchor_terms", "split_counts", "det_sample",
         "stratified_mix", "weighted_sample", "shard_manifest",
         "kmv_distinct", "neardup_prune", "asof_events", "range_join_stats",
-        "events_cube", "events_rollup", "events_stats", "events_top_user",
+        "events_cube", "events_rollup", "events_stats",
+        # heavy_hitters (new this round) takes events_top_user's slot —
+        # the events family keeps three in-window representatives and
+        # events_top_user keeps its both-SF pytest oracle
+        "heavy_hitters",
         "events_sessionize", "window_latest_order", "tpch_q5_region",
         # multimodal_video_sample (real ISO BMFF parse) takes the slot
         # of multimodal_features, whose fake-decoder plumbing is the
@@ -2955,8 +2972,16 @@ def oracle_sql() -> dict[str, str]:
     from ocr_devnagari_spark.functions.text import blocklist_pattern
     _blockpat = blocklist_pattern(_BLOCKTERMS)
 
-    from ocr_devnagari_spark.functions.sketches import kmv_estimate_sql
+    from ocr_devnagari_spark.functions.sketches import (
+        heavy_hitters_sql,
+        kmv_estimate_sql,
+    )
     _kmv_sql = kmv_estimate_sql("documents", "text", k=128)
+    # same tokenization rule as the tfidf oracle (term_rows mirror)
+    _hh_words = ("(SELECT t.term AS w FROM (SELECT regexp_extract_all("
+                 "trim(lower(text)), '\\S+') AS ts FROM documents), "
+                 "LATERAL unnest(ts) AS t(term) WHERE t.term != '')")
+    _hh_sql = heavy_hitters_sql(_hh_words, "w", k=50)
 
     from ocr_devnagari_spark.functions.splits import es_key_sql
     _es_sql = es_key_sql("doc_id", "q")
@@ -3243,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM e ASOF LEFT JOIN ticks k "
             "ON e.user_id = k.user_id AND e.t >= k.t"),
         "kmv_distinct": _kmv_sql,
+        "heavy_hitters": _hh_sql,
         "lang_confidence": (
             f"SELECT doc_id, {_lang_id_expr('text')} AS lang_id, "
             f"round(CASE WHEN ({_lang_tot}) > 0 THEN "

@@ -89,3 +89,69 @@ def kmv_estimate_sql(rel: str, col: str, k: int = 256) -> str:
         f"SELECT CASE WHEN count(*) < {k} THEN count(*)::DOUBLE "
         f"ELSE round((count(*) - 1) / max(p), 4) END AS n_est, "
         "count(*)::BIGINT AS k_used FROM pts")
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters — two-pass Misra-Gries candidates + exact recount
+# ---------------------------------------------------------------------------
+
+def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries (Misra & Gries 1982;
+    the "frequent" algorithm).  Bounded state — at most ``capacity``
+    counters per partition regardless of input cardinality — so the
+    candidate union is ≤ capacity × n_partitions rows, never the
+    distinct-value set.  MG guarantee, summed over partitions: every
+    value with GLOBAL frequency > n/(capacity+1) survives in at least
+    one partition's summary, so the candidate set is a superset of the
+    true heavy hitters and pass 2 can recount it exactly."""
+    def run(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            while len(counters) > capacity:
+                # weighted decrement: drop the minimum counter value
+                # from everyone (batch analog of the -1-from-all step)
+                m = min(counters.values())
+                counters = {v: c - m for v, c in counters.items()
+                            if c > m}
+        if counters:
+            yield pd.DataFrame({col: list(counters.keys())})
+    return df.select(col).mapInPandas(run, f"{col} string")
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """EXACT heavy hitters: every value of ``col`` whose frequency is
+    strictly greater than n/(k+1) (n = non-NULL rows), with its exact
+    count — ``(value, cnt)``.
+
+    Scale shape (the reason this exists next to a plain
+    ``groupBy.count``): a naive top-k over 100 TB of tokens shuffles
+    the FULL distinct-value set (billions of group keys).  Here pass 1
+    shrinks the universe to ≤ k·partitions candidate strings with
+    bounded executor state, pass 2 broadcast-semi-joins the candidate
+    set and aggregates only matching rows — the shuffle carries at most
+    k·partitions distinct keys.  The result is exact and partitioning-
+    independent (candidates may vary with the split; the final
+    threshold filter does not), so a DuckDB ``GROUP BY … HAVING
+    cnt·(k+1) > n`` oracle hash-matches."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rows = df.filter(F.col(col).isNotNull()).select(F.col(col).cast("string"))
+    cand = F.broadcast(_mg_candidates(rows, col, k).distinct())
+    counts = (rows.join(cand, on=col, how="left_semi")
+              .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+    total = rows.agg(F.count(F.lit(1)).alias("_n"))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+            .select(F.col(col).alias("value"), F.col("cnt")))
+
+
+def heavy_hitters_sql(rel: str, col: str, k: int = 100) -> str:
+    """DuckDB mirror of ``heavy_hitters`` over relation ``rel``."""
+    return (
+        f"SELECT {col}::VARCHAR AS value, count(*) AS cnt FROM {rel} "
+        f"WHERE {col} IS NOT NULL GROUP BY value "
+        f"HAVING count(*) * ({k} + 1) > "
+        f"(SELECT count(*) FROM {rel} WHERE {col} IS NOT NULL)")

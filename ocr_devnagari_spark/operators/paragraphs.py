@@ -141,11 +141,69 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     return rebuilt
 
 
+BLOOM_BITS_PER_GRAM = 16          # 2 probes at 16 bits/gram → FPR ≈ 1.4%
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_MAX_BITS = 1 << 32          # 64 Mi longs — broadcastable worst case
+
+
+def _bloom_positions(gram, m_bits: int):
+    """Two double-hashing probe positions in [0, m_bits) for ``gram``.
+    xxhash64 over (gram) and (gram, salt) are the two base hashes; the
+    filter is Spark-internal (the exact join downstream restores exact
+    semantics), so no cross-engine hash parity is needed."""
+    return [F.pmod(F.xxhash64(gram), F.lit(m_bits)),
+            F.pmod(F.xxhash64(gram, F.lit("bloom2")), F.lit(m_bits))]
+
+
+def _bloom_bitset(grams: DataFrame, gram_col: str, m_bits: int) -> DataFrame:
+    """(word_idx, bits) — the Bloom filter as 64-bit words, built with
+    one explode + one ``bit_or`` aggregation (map-side partial: each
+    partition contributes ≤ m_bits/64 rows regardless of gram count)."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(gram_col), m_bits)))
+    return (grams.select(pos.alias("pos"))
+            .select(F.floor(F.col("pos") / 64).alias("word_idx"),
+                    # shiftleft's count must be a column here → SQL expr
+                    F.expr("shiftleft(1L, int(pmod(pos, 64)))")
+                    .alias("bit"))
+            .groupBy("word_idx").agg(F.expr("bit_or(bit)").alias("bits")))
+
+
+def _bloom_prefilter(doc_grams: DataFrame, eval_grams: DataFrame,
+                     n_eval: int) -> DataFrame:
+    """Shrink ``doc_grams`` to PROBABLE eval-gram matches before the
+    exact join: no false negatives by Bloom construction, ~1-2% false
+    positives which the downstream exact join removes — result
+    semantics are unchanged, only the shuffled row volume drops.
+
+    Scale shape: the raw eval gram STRINGS may exceed the broadcast
+    budget (8-grams average >50 bytes each) while the bitset stays
+    ``m/64`` longs — 16 bits/gram ≈ 2 bytes/gram, a 25×+ broadcast
+    shrink — so the corpus-side explode is filtered with a broadcast
+    join even when ``broadcast_eval`` had to fall back to a shuffle."""
+    m_bits = BLOOM_MIN_BITS
+    while m_bits < min(BLOOM_MAX_BITS, n_eval * BLOOM_BITS_PER_GRAM):
+        m_bits <<= 1
+    bitset = F.broadcast(_bloom_bitset(eval_grams, "gram", m_bits))
+    out = doc_grams
+    for i, p in enumerate(_bloom_positions(F.col("gram"), m_bits)):
+        w = f"_bw{i}"
+        out = (out.withColumn("_pos", p)
+               .withColumn(w, F.floor(F.col("_pos") / 64))
+               .join(bitset.withColumnRenamed("word_idx", w)
+                     .withColumnRenamed("bits", f"_bits{i}"),
+                     on=w, how="inner")
+               .filter(F.expr(
+                   f"shiftright(_bits{i}, int(pmod(_pos, 64))) & 1 = 1"))
+               .drop("_pos", w, f"_bits{i}"))
+    return out
+
+
 def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                         id_col: str = "doc_id", text_col: str = "text",
                         eval_text_col: str = "text",
                         min_hits: int = 1,
-                        broadcast_eval: bool | None = None) -> DataFrame:
+                        broadcast_eval: bool | None = None,
+                        prefilter: str | None = None) -> DataFrame:
     """Flag training documents sharing word ``n``-grams with an eval set.
 
     Returns ``(id_col, hits, contaminated)`` for every row of ``docs``
@@ -156,11 +214,19 @@ def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
     broadcasts it when it is under ``BROADCAST_GRAM_LIMIT`` rows (the
     counted-threshold gate used by the exact-dedup keeper map);
     True/False forces the choice without the counting job.
+
+    ``prefilter='bloom'`` inserts a broadcast Bloom-bitset membership
+    test on the corpus gram explode before the exact join (see
+    ``_bloom_prefilter``) — identical results, built for the regime
+    where the eval set outgrows the string broadcast budget.
     """
+    if prefilter not in (None, "bloom"):
+        raise ValueError(f"unknown prefilter {prefilter!r}")
     eval_grams = (eval_df
                   .select(F.explode(
                       word_ngrams(F.col(eval_text_col), n)).alias("gram"))
                   .distinct())
+    n_eval = None
     if broadcast_eval is None:
         # counted gate WITHOUT persist: a persist here would leak cached
         # blocks for the session lifetime (the returned DF is lazy, so
@@ -168,7 +234,8 @@ def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
         # The eval set is small by definition, so re-running the
         # explode+distinct lineage once more in the final join is the
         # cheaper trade in a long-running pipeline.
-        broadcast_eval = eval_grams.count() <= BROADCAST_GRAM_LIMIT
+        n_eval = eval_grams.count()
+        broadcast_eval = n_eval <= BROADCAST_GRAM_LIMIT
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
     doc_grams = (docs
@@ -176,6 +243,10 @@ def ngram_contamination(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                          F.explode(word_ngrams(F.col(text_col), n))
                          .alias("gram"))
                  .distinct())
+    if prefilter == "bloom":
+        if n_eval is None:
+            n_eval = eval_grams.count()
+        doc_grams = _bloom_prefilter(doc_grams, eval_grams, max(n_eval, 1))
     hit_counts = (doc_grams
                   .join(eval_grams, on="gram", how="inner")
                   .groupBy(id_col)

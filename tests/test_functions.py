@@ -166,3 +166,45 @@ def test_gated_count_null_propagates(spark):
     assert rows[1] == (None, None, None)
     assert rows[2][0] == 1 and rows[2][1] == 0
     assert rows[3] == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (two-pass Misra-Gries + recount)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from ocr_devnagari_spark.functions.sketches import heavy_hitters
+    # zipf-ish skew: value v_j appears ~N/j times, plus a NULL block
+    vals = []
+    for j in range(1, 40):
+        vals += [f"v{j}"] * (400 // j)
+    rows = [(v,) for v in vals] + [(None,)] * 25
+    df = spark.createDataFrame(rows, "w string")
+    for k in (3, 10, 200):
+        for parts in (1, 7):
+            got = sorted(map(tuple, heavy_hitters(
+                df.repartition(parts), "w", k=k).collect()))
+            c = collections.Counter(vals)
+            n = len(vals)
+            want = sorted((v, cnt) for v, cnt in c.items()
+                          if cnt * (k + 1) > n)
+            assert got == want, (k, parts)
+    import pytest
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "w", k=0)
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    from ocr_devnagari_spark.functions.sketches import _mg_candidates
+    # adversarial: many singletons drowning a few hot values
+    vals = [f"hot{i}" for i in range(3) for _ in range(500)] \
+        + [f"cold{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string") \
+        .repartition(4)
+    cand = set(r["w"] for r in _mg_candidates(df, "w", 8).collect())
+    assert len(cand) <= 8 * 4                      # bounded state
+    assert {"hot0", "hot1", "hot2"} <= cand        # freq > n/9 survive

@@ -495,3 +495,30 @@ def test_lang_confidence_share(spark):
     assert got[0] == ("en", 1.0)
     assert got[1][1] == 0.25
     assert got[2] == ("und", 0.0)
+
+
+def test_ngram_contamination_bloom_parity(spark):
+    from ocr_devnagari_spark.operators.paragraphs import _bloom_prefilter
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(40)]
+    evals = [(0, docs[5][1]), (1, docs[11][1][:60])]
+    ddf = _pdf(spark, docs)
+    edf = spark.createDataFrame(evals, "id long, text string")
+    plain = sorted(map(tuple, ngram_contamination(
+        ddf, edf, n=5, broadcast_eval=False).collect()))
+    bloom = sorted(map(tuple, ngram_contamination(
+        ddf, edf, n=5, broadcast_eval=False,
+        prefilter="bloom").collect()))
+    assert plain == bloom
+    # no false negatives by construction: every eval gram passes its
+    # own membership test even at a deliberately tiny bitset
+    from ocr_devnagari_spark.functions.repetition import word_ngrams
+    from pyspark.sql import functions as F
+    egrams = (edf.select(F.explode(word_ngrams(F.col("text"), 5))
+                         .alias("gram")).distinct())
+    tagged = egrams.select(F.lit(0).alias("doc_id"), "gram")
+    kept = _bloom_prefilter(tagged, egrams, n_eval=egrams.count())
+    assert kept.count() == egrams.count()
+    import pytest
+    with pytest.raises(ValueError, match="unknown prefilter"):
+        ngram_contamination(ddf, edf, prefilter="nope")
