@@ -724,6 +724,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         bpe_ish_count(F.col("text")).alias("bpe_tokens"))
     q["token_counts"] = token_counts
 
+    # ---- exact token-count quantiles per language (order statistics
+    #      via value-histogram cumsum — no full sort, no approx) ----
+    def token_quantiles(spark, sf_dir):
+        from ocr_devnagari_spark.functions.sketches import exact_quantiles
+        d = _t(spark, sf_dir, "documents")
+        t = d.select("lang", token_count(F.col("text")).cast("long")
+                     .alias("n_toks"))
+        return exact_quantiles(t, "n_toks", [0.5, 0.9, 0.99], ["lang"])
+    q["token_quantiles"] = token_quantiles
+
     # ---- URL canonicalization (beyond-ref: dedup-by-url at crawl scale)
     def url_canonicalize(spark, sf_dir):
         from ocr_devnagari_spark.functions.url import canonicalize_url
@@ -2983,6 +2993,12 @@ def oracle_sql() -> dict[str, str]:
                  "LATERAL unnest(ts) AS t(term) WHERE t.term != '')")
     _hh_sql = heavy_hitters_sql(_hh_words, "w", k=50)
 
+    from ocr_devnagari_spark.functions.sketches import exact_quantiles_sql
+    _tq_sql = exact_quantiles_sql(
+        "(SELECT lang, len(regexp_extract_all(text, '\\S+'))::BIGINT "
+        "AS n_toks FROM documents)",
+        "n_toks", [0.5, 0.9, 0.99], ["lang"])
+
     from ocr_devnagari_spark.functions.splits import es_key_sql
     _es_sql = es_key_sql("doc_id", "q")
 
@@ -3269,6 +3285,7 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = k.user_id AND e.t >= k.t"),
         "kmv_distinct": _kmv_sql,
         "heavy_hitters": _hh_sql,
+        "token_quantiles": _tq_sql,
         "lang_confidence": (
             f"SELECT doc_id, {_lang_id_expr('text')} AS lang_id, "
             f"round(CASE WHEN ({_lang_tot}) > 0 THEN "

@@ -155,3 +155,67 @@ def heavy_hitters_sql(rel: str, col: str, k: int = 100) -> str:
         f"WHERE {col} IS NOT NULL GROUP BY value "
         f"HAVING count(*) * ({k} + 1) > "
         f"(SELECT count(*) FROM {rel} WHERE {col} IS NOT NULL)")
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles — histogram + cumulative counts, no full sort
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(df: DataFrame, val_col: str, qs: list[float],
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """EXACT discrete quantiles (type-1 / lower order statistic: the
+    smallest value v with rank ≥ ⌈q·n⌉) of ``val_col`` per group —
+    ``(group_cols…, q, quantile)``, one row per group × q.
+
+    ``approxQuantile`` is driver-side, single-frame and approximate;
+    a naive exact method sorts the whole column.  For the discrete
+    columns dashboards actually quantile (token counts, document
+    lengths, status codes — bounded cardinality regardless of row
+    count) the scale-correct shape is: groupBy value → COUNT (map-side
+    partial: the shuffle carries one row per distinct value, never per
+    input row) → per-group running sum over the value-sorted histogram
+    (window over ≤ cardinality rows) → first value whose cumulative
+    count reaches ⌈q·n⌉.  Matches DuckDB's ``quantile_disc`` exactly,
+    so the oracle gate hash-checks it.  NULL values are excluded.
+    """
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be fractions in (0, 1]")
+    from pyspark.sql import Window
+    gcols = list(group_cols or [])
+    hist = (df.filter(F.col(val_col).isNotNull())
+            .groupBy(*gcols, val_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w = (Window.partitionBy(*gcols).orderBy(val_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(*gcols)
+    cum = (hist.withColumn("_cum", F.sum("_c").over(w))
+           .withColumn("_n", F.sum("_c").over(wn)))
+    picks = None
+    for q in qs:
+        # ceil(q*n) via integer arithmetic only when q is exactly
+        # representable would still be float; DuckDB's quantile_disc
+        # uses the same ceil(q*n) rank, so float ceil matches.
+        rank = F.ceil(F.lit(float(q)) * F.col("_n"))
+        p = (cum.filter(F.col("_cum") >= rank)
+             .groupBy(*gcols)
+             .agg(F.min(val_col).alias("quantile"))
+             .withColumn("q", F.lit(float(q))))
+        picks = p if picks is None else picks.unionByName(p)
+    return picks.select(*gcols, "q", "quantile")
+
+
+def exact_quantiles_sql(rel: str, val_col: str, qs: list[float],
+                        group_cols: list[str] | None = None) -> str:
+    """DuckDB mirror of ``exact_quantiles`` (``quantile_disc`` is the
+    same type-1 order statistic; it only takes CONSTANT quantile
+    parameters, hence one UNION ALL branch per q)."""
+    gcols = list(group_cols or [])
+    branches = []
+    for q in qs:
+        sel = ", ".join(
+            gcols + [f"{float(q)}::DOUBLE AS q",      # DECIMAL otherwise
+                     f"quantile_disc({val_col}, {float(q)}) AS quantile"])
+        grp = (" GROUP BY " + ", ".join(gcols)) if gcols else ""
+        branches.append(f"SELECT {sel} FROM {rel} "
+                        f"WHERE {val_col} IS NOT NULL{grp}")
+    return " UNION ALL ".join(branches)

@@ -208,3 +208,35 @@ def test_mg_candidates_bounded_and_superset(spark):
     cand = set(r["w"] for r in _mg_candidates(df, "w", 8).collect())
     assert len(cand) <= 8 * 4                      # bounded state
     assert {"hot0", "hot1", "hot2"} <= cand        # freq > n/9 survive
+
+
+def test_exact_quantiles_vs_bruteforce(spark):
+    import math
+
+    from ocr_devnagari_spark.functions.sketches import exact_quantiles
+    rows = []
+    for g, vals in (("a", [5, 1, 3, 3, 2, 9, 7]),
+                    ("b", [10]),
+                    ("c", [4, 4, 4, 4])):
+        rows += [(g, v) for v in vals]
+    rows += [("a", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(5)
+    qs = [0.25, 0.5, 0.9, 1.0]
+    got = {(r["g"], r["q"]): r["quantile"]
+           for r in exact_quantiles(df, "v", qs, ["g"]).collect()}
+    for g, vals in (("a", [5, 1, 3, 3, 2, 9, 7]), ("b", [10]),
+                    ("c", [4, 4, 4, 4])):
+        sv = sorted(vals)
+        for q in qs:
+            want = sv[max(0, math.ceil(q * len(sv)) - 1)]
+            assert got[(g, q)] == want, (g, q)
+    # ungrouped form
+    flat = {r["q"]: r["quantile"]
+            for r in exact_quantiles(df.filter("g = 'a'"), "v",
+                                     [0.5]).collect()}
+    assert flat == {0.5: 3}
+    import pytest
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [0.0])
