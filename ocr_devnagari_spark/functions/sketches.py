@@ -190,18 +190,21 @@ def exact_quantiles(df: DataFrame, val_col: str, qs: list[float],
     wn = Window.partitionBy(*gcols)
     cum = (hist.withColumn("_cum", F.sum("_c").over(w))
            .withColumn("_n", F.sum("_c").over(wn)))
-    picks = None
-    for q in qs:
-        # ceil(q*n) via integer arithmetic only when q is exactly
-        # representable would still be float; DuckDB's quantile_disc
-        # uses the same ceil(q*n) rank, so float ceil matches.
-        rank = F.ceil(F.lit(float(q)) * F.col("_n"))
-        p = (cum.filter(F.col("_cum") >= rank)
-             .groupBy(*gcols)
-             .agg(F.min(val_col).alias("quantile"))
-             .withColumn("q", F.lit(float(q))))
-        picks = p if picks is None else picks.unionByName(p)
-    return picks.select(*gcols, "q", "quantile")
+    # ALL quantiles in one aggregation pass (a per-q filter+agg+union
+    # would recompute the histogram lineage len(qs) times): each q is a
+    # conditional min over the same cumulated histogram, then the wide
+    # row unpivots.  ceil(q·n) in double — DuckDB's quantile_disc uses
+    # the identical rank arithmetic, so the oracle matches bit-for-bit.
+    aggs = [F.min(F.when(F.col("_cum")
+                         >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                         F.col(val_col))).alias(f"_q{i}")
+            for i, q in enumerate(qs)]
+    wide = cum.groupBy(*gcols).agg(*aggs)
+    stack = ", ".join(
+        f"double('{float(q)}'), _q{i}" for i, q in enumerate(qs))
+    return wide.select(
+        *gcols,
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, quantile)"))
 
 
 def exact_quantiles_sql(rel: str, val_col: str, qs: list[float],
