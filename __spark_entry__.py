@@ -1877,7 +1877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the events family keeps three in-window representatives and
         # events_top_user keeps its both-SF pytest oracle
         "heavy_hitters",
-        "events_sessionize", "window_latest_order", "tpch_q5_region",
+        # token_quantiles (new this round) takes window_latest_order's
+        # slot — the window-function family keeps events_sessionize
+        # in-window; window_latest_order keeps its both-SF pytest oracle
+        "events_sessionize", "token_quantiles", "tpch_q5_region",
         # multimodal_video_sample (real ISO BMFF parse) takes the slot
         # of multimodal_features, whose fake-decoder plumbing is the
         # least informative of the family now that all three real

@@ -103,12 +103,19 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     distinct-value set.  MG guarantee, summed over partitions: every
     value with GLOBAL frequency > n/(capacity+1) survives in at least
     one partition's summary, so the candidate set is a superset of the
-    true heavy hitters and pass 2 can recount it exactly."""
+    true heavy hitters and pass 2 can recount it exactly.
+
+    Output: candidate rows ``(value, NULL)`` plus ONE ``(NULL, n_p)``
+    row per partition carrying the partition's row count — the total
+    rides the same pass instead of costing a third scan of the input
+    (``heavy_hitters`` consumes both from one materialization)."""
     def run(batches):
         import pandas as pd
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
-            for v, c in pdf[col].dropna().value_counts().items():
+            n_part += len(pdf)
+            for v, c in pdf[col].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             while len(counters) > capacity:
                 # weighted decrement: drop the minimum counter value
@@ -116,9 +123,9 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
                 m = min(counters.values())
                 counters = {v: c - m for v, c in counters.items()
                             if c > m}
-        if counters:
-            yield pd.DataFrame({col: list(counters.keys())})
-    return df.select(col).mapInPandas(run, f"{col} string")
+        yield pd.DataFrame({col: list(counters.keys()) + [None],
+                            "_pn": [None] * len(counters) + [n_part]})
+    return df.select(col).mapInPandas(run, f"{col} string, _pn long")
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
@@ -138,11 +145,18 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     cnt·(k+1) > n`` oracle hash-matches."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from ..operators.dedup import _materialize
     rows = df.filter(F.col(col).isNotNull()).select(F.col(col).cast("string"))
-    cand = F.broadcast(_mg_candidates(rows, col, k).distinct())
+    # one MG pass yields candidates AND per-partition row counts; it is
+    # materialized (tiny: ≤ k·partitions + partitions rows) so that
+    # consuming it twice below does not re-scan the input — the whole
+    # operator costs exactly TWO passes over the data (MG + recount)
+    mg = _materialize(_mg_candidates(rows, col, k))
+    cand = F.broadcast(
+        mg.filter(F.col(col).isNotNull()).select(col).distinct())
+    total = mg.agg(F.sum("_pn").alias("_n"))
     counts = (rows.join(cand, on=col, how="left_semi")
               .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
-    total = rows.agg(F.count(F.lit(1)).alias("_n"))
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("cnt") * (k + 1) > F.col("_n"))
             .select(F.col(col).alias("value"), F.col("cnt")))
@@ -182,6 +196,12 @@ def exact_quantiles(df: DataFrame, val_col: str, qs: list[float],
         raise ValueError("qs must be fractions in (0, 1]")
     from pyspark.sql import Window
     gcols = list(group_cols or [])
+    clash = ({"q", "quantile", "_c", "_cum", "_n"}
+             & set(gcols + [val_col]))
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} collide with "
+            "exact_quantiles internals/output — rename them first")
     hist = (df.filter(F.col(val_col).isNotNull())
             .groupBy(*gcols, val_col)
             .agg(F.count(F.lit(1)).alias("_c")))

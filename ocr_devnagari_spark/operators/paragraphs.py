@@ -143,7 +143,13 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
 
 BLOOM_BITS_PER_GRAM = 16          # 2 probes at 16 bits/gram → FPR ≈ 1.4%
 BLOOM_MIN_BITS = 1 << 16
-BLOOM_MAX_BITS = 1 << 32          # 64 Mi longs — broadcastable worst case
+# Cap the bitset at 2^28 bits = 4 Mi (word, bits) rows ≈ 64 MB payload —
+# a relation every default-memory executor can hold.  Past ~16M distinct
+# eval grams the filter stays AT the cap: correctness is unaffected (the
+# exact join still removes every false positive), the FPR just grows
+# smoothly, degrading the prefilter's savings instead of OOMing the
+# broadcast the way an unbounded "worst case" cap would.
+BLOOM_MAX_BITS = 1 << 28
 
 
 def _bloom_positions(gram, m_bits: int):

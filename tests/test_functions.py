@@ -205,9 +205,12 @@ def test_mg_candidates_bounded_and_superset(spark):
         + [f"cold{i}" for i in range(3000)]
     df = spark.createDataFrame([(v,) for v in vals], "w string") \
         .repartition(4)
-    cand = set(r["w"] for r in _mg_candidates(df, "w", 8).collect())
+    out = _mg_candidates(df, "w", 8).collect()
+    cand = set(r["w"] for r in out if r["w"] is not None)
     assert len(cand) <= 8 * 4                      # bounded state
     assert {"hot0", "hot1", "hot2"} <= cand        # freq > n/9 survive
+    # the per-partition count rows sum to the input size
+    assert sum(r["_pn"] for r in out if r["_pn"] is not None) == len(vals)
 
 
 def test_exact_quantiles_vs_bruteforce(spark):
@@ -240,3 +243,15 @@ def test_exact_quantiles_vs_bruteforce(spark):
         exact_quantiles(df, "v", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [0.0])
+
+
+def test_exact_quantiles_rejects_colliding_names(spark):
+    import pytest
+
+    from ocr_devnagari_spark.functions.sketches import exact_quantiles
+    df = spark.createDataFrame([("a", 1)], "q string, v long")
+    with pytest.raises(ValueError, match="collide"):
+        exact_quantiles(df, "v", [0.5], ["q"])
+    df2 = spark.createDataFrame([("a", 1)], "g string, _cum long")
+    with pytest.raises(ValueError, match="collide"):
+        exact_quantiles(df2, "_cum", [0.5], ["g"])
