@@ -75,7 +75,7 @@ def main() -> None:
                  "sim_cosine_topk", "quality_scores", "m5_route_stats",
                  "repetition_gate", "curate_report", "curate_full_report",
                  "quality_classifier", "dsir_weights", "lm_tiers",
-                 "exact_substr"):
+                 "exact_substr", "heavy_hitters", "token_quantiles"):
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
