@@ -115,17 +115,25 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
         n_part = 0
         for pdf in batches:
             n_part += len(pdf)
-            for v, c in pdf[col].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            while len(counters) > capacity:
-                # weighted decrement: drop the minimum counter value
-                # from everyone (batch analog of the -1-from-all step)
-                m = min(counters.values())
-                counters = {v: c - m for v, c in counters.items()
-                            if c > m}
+            counters = _mg_update(counters,
+                                  pdf[col].value_counts().items(),
+                                  capacity)
         yield pd.DataFrame({col: list(counters.keys()) + [None],
                             "_pn": [None] * len(counters) + [n_part]})
     return df.select(col).mapInPandas(run, f"{col} string, _pn long")
+
+
+def _mg_update(counters: dict, weighted_items, capacity: int) -> dict:
+    """One weighted Misra-Gries merge step (module-level so the
+    survival guarantee is unit/property-testable without Spark)."""
+    for v, c in weighted_items:
+        counters[v] = counters.get(v, 0) + int(c)
+    while len(counters) > capacity:
+        # weighted decrement: drop the minimum counter value from
+        # everyone (batch analog of the -1-from-all step)
+        m = min(counters.values())
+        counters = {v: c - m for v, c in counters.items() if c > m}
+    return counters
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
