@@ -145,3 +145,81 @@ def stream_exact_dedup(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+_HH_STATE = "vals ARRAY<STRING>, cnts ARRAY<LONG>, n LONG"
+_HH_OUT = ("shard INT, value STRING, cnt_lo LONG, n_shard LONG")
+
+
+def stream_heavy_hitters(
+    spark: SparkSession, input_dir: str, output_dir: str,
+    checkpoint_dir: str, val_col: str = "user_id",
+    k: int = 16, shards: int = 4,
+) -> None:
+    """Streaming heavy hitters: Misra-Gries state per SHARD maintained
+    across micro-batches and drains (``applyInPandasWithState``) — the
+    streaming face of ``functions.sketches.heavy_hitters``.
+
+    State-boundedness is the design point: grouping by the VALUE would
+    create one state-store key per distinct value ever seen (the
+    unbounded-state trap ``stream_exact_dedup`` documents), so values
+    hash into a FIXED ``shards``-sized key space and each shard keeps
+    an MG summary of at most ``k`` counters — total state is
+    ``shards × k`` entries forever, for any cardinality.  The MG
+    guarantee still holds globally: a value lives in exactly one shard,
+    so global frequency f = shard frequency, and f > n_shard/(k+1)
+    (implied by f > n_total/(k+1)) keeps it in that shard's summary
+    with ``f - n_shard/(k+1) ≤ cnt_lo ≤ f``.
+
+    Each drain emits every touched shard's full candidate set tagged
+    with the shard's cumulative row count ``n_shard`` (monotone per
+    shard, so the latest emission per shard = max ``n_shard``).  An
+    exact recount — the batch operator's pass 2 — can then run over the
+    committed table against the emitted candidates when exact counts
+    are needed.
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    tagged = (events.select(F.col(val_col).cast("string").alias("val"))
+              .filter(F.col("val").isNotNull())
+              .withColumn("shard", F.pmod(F.xxhash64("val"),
+                                          F.lit(shards)).cast("int")))
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        from ocr_devnagari_spark.functions.sketches import _mg_update
+        if state.exists:
+            vals, cnts, n = state.get
+            counters = dict(zip(vals, cnts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            counters = _mg_update(
+                counters, pdf["val"].value_counts().items(), k)
+        state.update((list(counters.keys()),
+                      [int(c) for c in counters.values()], int(n)))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(counters),
+            "value": list(counters.keys()),
+            "cnt_lo": [int(c) for c in counters.values()],
+            "n_shard": [int(n)] * len(counters)})
+
+    out = (tagged.groupBy("shard")
+           .applyInPandasWithState(
+               _update,
+               outputStructType=_HH_OUT,
+               stateStructType=_HH_STATE,
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+
+    def _append(df, _epoch):
+        df.write.mode("append").parquet(output_dir)
+
+    q = (out.writeStream
+         .foreachBatch(_append)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

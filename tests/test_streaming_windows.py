@@ -129,3 +129,51 @@ def test_stream_exact_dedup_across_drains(spark, tmp_path):
     assert got2.count() == 3                      # only C added
     props = sorted(r.props for r in got2.collect())
     assert props == ["payload-A", "payload-B", "payload-C"]
+
+
+def test_stream_heavy_hitters_state_survives_drains(spark, landing):
+    """Sharded MG state across two drains: every value frequent enough
+    for the MG guarantee appears in its shard's LAST emission with a
+    counter inside the [f - n_shard/(k+1), f] band, and per-shard state
+    never exceeds k entries."""
+    from ocr_devnagari_spark.streaming.windows import stream_heavy_hitters
+
+    d, land = landing
+    out, cp = f"{d}/hhout", f"{d}/hhcp"
+    K, SHARDS = 8, 2
+    _land(f"{d}/wave1", land, "w1")
+    stream_heavy_hitters(spark, land, out, cp, val_col="user_id",
+                         k=K, shards=SHARDS)
+    _land(f"{d}/wave2", land, "w2")
+    stream_heavy_hitters(spark, land, out, cp, val_col="user_id",
+                         k=K, shards=SHARDS)
+
+    emitted = spark.read.parquet(out)
+    # latest emission per shard = the max-n_shard rows of that shard
+    latest_n = {r["shard"]: r["mx"] for r in emitted.groupBy("shard")
+                .agg(F.max("n_shard").alias("mx")).collect()}
+    last = [r for r in emitted.collect()
+            if r["n_shard"] == latest_n[r["shard"]]]
+    by_shard: dict = {}
+    for r in last:
+        by_shard.setdefault(r["shard"], {})[r["value"]] = r["cnt_lo"]
+    assert all(len(c) <= K for c in by_shard.values())
+
+    # batch truth with the SAME shard tagging
+    truth = (spark.read.parquet(SRC)
+             .select(F.col("user_id").cast("string").alias("val"))
+             .withColumn("shard", F.pmod(F.xxhash64("val"),
+                                         F.lit(SHARDS)).cast("int")))
+    freqs = {(r["shard"], r["val"]): r["f"] for r in
+             truth.groupBy("shard", "val").agg(
+                 F.count("*").alias("f")).collect()}
+    n_shard = {r["shard"]: r["n"] for r in truth.groupBy("shard")
+               .agg(F.count("*").alias("n")).collect()}
+    assert latest_n == n_shard                    # state saw every row
+    for (sh, v), f in freqs.items():
+        bound = n_shard[sh] / (K + 1)
+        if f > bound:                             # MG survival guarantee
+            assert v in by_shard[sh], (sh, v, f)
+        if v in by_shard.get(sh, {}):
+            cnt = by_shard[sh][v]
+            assert cnt <= f and f - cnt <= bound, (sh, v, f, cnt)
