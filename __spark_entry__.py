@@ -1684,7 +1684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("iid"),
             (F.col("id") * 25.0).alias("lo"),
             (F.col("id") * 25.0 + 40.0).alias("hi"))
-        return (range_join(e, iv, bucket_width=50.0)
+        # bucket_width=None exercises the quantile-derived auto width
+        # in the gate; the width only shapes the plan, so the exact
+        # containment oracle is unchanged
+        return (range_join(e, iv, bucket_width=None)
                 .groupBy("iid")
                 .agg(F.count(F.lit(1)).alias("n_points"),
                      F.round(F.sum("v"), 4).alias("sum_v")))

@@ -161,13 +161,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
 def range_join(points: DataFrame, intervals: DataFrame,
                v_col: str = "v", lo_col: str = "lo", hi_col: str = "hi",
-               bucket_width: float = 100.0,
+               bucket_width: float | None = 100.0,
                max_buckets: int = 1024,
                wide_limit: int = 1_000_000) -> DataFrame:
     """Inner containment join (``lo <= v <= hi``, inclusive both ends)
     via bucketed equi-join — returns all point columns + all interval
     columns.  ``bucket_width`` should be of the order of the typical
     interval length (explode factor ≈ len/width + 1).
+
+    ``bucket_width=None`` derives it from the data: the median interval
+    length via one ``approxQuantile`` sketch over the (already
+    materialized) intervals — the typical interval then explodes to ~2
+    buckets, and only genuine outliers take the wide path.  The width
+    only shapes the PLAN, never the result (the containment filter is
+    exact), so the sketch's partitioning sensitivity cannot affect
+    correctness.
 
     **Fan-out guard**: an interval spanning more than ``max_buckets``
     buckets does NOT explode (one degenerate ``(0, 1e9)`` interval at
@@ -180,7 +188,7 @@ def range_join(points: DataFrame, intervals: DataFrame,
     full inner join, each pair produced exactly once (an interval is
     either wide or narrow, never both).
     """
-    if bucket_width <= 0:
+    if bucket_width is not None and bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if max_buckets < 1:
         raise ValueError("max_buckets must be >= 1")
@@ -193,6 +201,17 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # also makes the counted gate's eager job a cheap limit over
     # materialized blocks rather than a full re-evaluation.
     intervals = _materialize(intervals)
+    if bucket_width is None:
+        # first positive of (p50, p90) interval length — p50 alone can
+        # be 0 when point intervals dominate, which would route every
+        # real interval to the wide path
+        qs = (intervals
+              .select((F.col(hi_col) - F.col(lo_col)).cast("double")
+                      .alias("_len"))
+              .approxQuantile("_len", [0.5, 0.9], 0.01))
+        bucket_width = next((q for q in qs if q and q > 0), 1.0)
+        log.info("range_join: auto bucket_width=%s "
+                 "(median/p90 interval length)", bucket_width)
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
     hi_b = F.floor(F.col(hi_col) / bucket_width).cast("long")
     n_b = (hi_b - lo_b + F.lit(1))

@@ -232,3 +232,28 @@ def test_kmv_ignores_nulls(spark):
     r_nonull = kmv_estimate(df.filter("v is not null"), "v",
                             k=64).collect()[0]
     assert r["n_est"] == r_nonull["n_est"]
+
+
+def test_range_join_auto_bucket_width(spark):
+    """bucket_width=None derives the width from interval lengths; the
+    result is identical to any explicit width (width only shapes the
+    plan), including when point intervals (len 0) dominate the median."""
+    pts = [(i, float((i * 37) % 500)) for i in range(80)]
+    ivs = [(j, float(j * 40), float(j * 40 + 60)) for j in range(12)]
+    pdf = spark.createDataFrame(pts, "pid long, v double")
+    idf = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+    exp = {(pid, iid) for pid, v in pts for iid, lo, hi in ivs
+           if lo <= v <= hi}
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pdf, idf, bucket_width=None).collect()}
+    assert got == exp
+    # p50 = 0 (point intervals dominate): p90 fallback keeps the one
+    # real interval on the narrow path and results stay exact
+    ivs0 = [(j, float(j), float(j)) for j in range(20)] \
+        + [(99, 0.0, 400.0)]
+    idf0 = spark.createDataFrame(ivs0, "iid long, lo double, hi double")
+    got0 = {(r["pid"], r["iid"]) for r in
+            range_join(pdf, idf0, bucket_width=None).collect()}
+    exp0 = {(pid, iid) for pid, v in pts for iid, lo, hi in ivs0
+            if lo <= v <= hi}
+    assert got0 == exp0
