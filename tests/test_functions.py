@@ -255,3 +255,18 @@ def test_exact_quantiles_rejects_colliding_names(spark):
     df2 = spark.createDataFrame([("a", 1)], "g string, _cum long")
     with pytest.raises(ValueError, match="collide"):
         exact_quantiles(df2, "_cum", [0.5], ["g"])
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Plan discipline: the MG pass is materialized (it shows as a
+    Scan ExistingRDD — computed ONCE for candidates + total), pass 2
+    recounts behind a BROADCAST left-semi join, and no cartesian
+    product exists — the only Cross is the broadcast of the 1-row
+    total."""
+    from ocr_devnagari_spark.functions.sketches import heavy_hitters
+    df = spark.createDataFrame([("x",), ("y",), ("x",)], "w string")
+    plan = (heavy_hitters(df, "w", k=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ExistingRDD" in plan          # materialized MG output
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "Cartesian" not in plan
