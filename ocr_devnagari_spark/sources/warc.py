@@ -141,7 +141,8 @@ def _http_body(payload: bytes) -> bytes:
     return body
 
 
-def _records_to_rows(content: bytes):
+def _records_to_rows(content: bytes, record_types=("response",),
+                     as_text: bool = False):
     if content[:2] == b"\x1f\x8b":       # gzip magic — STREAM the members
         #  (GzipFile reads concatenated members; gzip.decompress would
         #  hold the whole ~4-5 GB decompressed archive as one object)
@@ -149,7 +150,7 @@ def _records_to_rows(content: bytes):
     else:
         stream = io.BytesIO(content)
     for headers, payload in iter_warc_records(stream):
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") not in record_types:
             continue                      # request/metadata/warcinfo
         url = headers.get("warc-target-uri")
         if not url:
@@ -163,12 +164,21 @@ def _records_to_rows(content: bytes):
                         timezone.utc).replace(tzinfo=None)
             except ValueError:
                 ts = None
-        yield {"url": url, "warc_ts": ts, "html": _http_body(payload),
-               "text": None, "lang": None}
+        if as_text:
+            # conversion (WET) payloads are bare UTF-8 text — no HTTP
+            # envelope to strip, lands in the text column
+            yield {"url": url, "warc_ts": ts, "html": None,
+                   "text": payload.decode("utf-8", "replace"),
+                   "lang": None}
+        else:
+            yield {"url": url, "warc_ts": ts, "html": _http_body(payload),
+                   "text": None, "lang": None}
 
 
 def read_warc_pages(spark: SparkSession, path: str,
-                    rows_per_batch: int = 1024) -> DataFrame:
+                    rows_per_batch: int = 1024,
+                    record_types=("response",),
+                    as_text: bool = False) -> DataFrame:
     """``*.warc`` / ``*.warc.gz`` files → pages DataFrame
     (``plans.pipeline.PAGES_SCHEMA``). One task per archive file; rows
     stream out in ``rows_per_batch`` chunks, so the task working set is
@@ -185,7 +195,8 @@ def read_warc_pages(spark: SparkSession, path: str,
         for pdf in batches:
             for content in pdf["content"]:
                 rows = []
-                for row in _records_to_rows(bytes(content)):
+                for row in _records_to_rows(bytes(content),
+                                            record_types, as_text):
                     rows.append(row)
                     if len(rows) >= rows_per_batch:
                         yield pd.DataFrame(rows, columns=cols)
@@ -194,6 +205,16 @@ def read_warc_pages(spark: SparkSession, path: str,
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
+
+
+def read_wet_pages(spark: SparkSession, path: str,
+                   rows_per_batch: int = 1024) -> DataFrame:
+    """Common-Crawl WET archives (``WARC-Type: conversion``, bare
+    UTF-8 text payloads) → pages DataFrame with ``text`` populated and
+    ``html`` NULL — the pre-extracted-text sibling of
+    :func:`read_warc_pages`, same streaming/task shape."""
+    return read_warc_pages(spark, path, rows_per_batch,
+                           record_types=("conversion",), as_text=True)
 
 
 CDX_COLUMNS = ["url", "warc_ts", "offset", "length", "digest", "mime",

@@ -147,3 +147,35 @@ def test_warc_chunked_and_gzip_bodies_decoded(spark, tmp_path):
     assert len(got) == 5
     for url, body in got.items():
         assert body == html, url
+
+
+def test_read_wet_pages_conversion_records(spark, tmp_path):
+    """WET archives (conversion records, bare UTF-8 payloads) land in
+    the text column with html NULL; interleaved response/metadata
+    records are excluded — and the same file read as WARC sees only
+    the response record."""
+    from ocr_devnagari_spark.sources.warc import (
+        read_warc_pages,
+        read_wet_pages,
+        write_warc,
+    )
+    recs = [
+        ("http://a.example/1", "2024-03-01T00:00:00Z",
+         "plain text one — ünïcode".encode(), "conversion"),
+        ("http://a.example/2", "2024-03-01T00:00:01Z",
+         b"<html><p>raw page</p></html>", "response"),
+        ("http://a.example/3", "2024-03-01T00:00:02Z",
+         b"plain text three", "conversion"),
+        ("http://a.example/meta", "2024-03-01T00:00:03Z",
+         b"ignored", "metadata"),
+    ]
+    path = str(tmp_path / "x.wet.gz")
+    write_warc(path, recs)
+    wet = {r["url"]: r for r in read_wet_pages(spark, path).collect()}
+    assert sorted(wet) == ["http://a.example/1", "http://a.example/3"]
+    assert wet["http://a.example/1"]["text"] == "plain text one — ünïcode"
+    assert wet["http://a.example/1"]["html"] is None
+    assert wet["http://a.example/3"]["text"] == "plain text three"
+    warc = {r["url"]: r for r in read_warc_pages(spark, path).collect()}
+    assert sorted(warc) == ["http://a.example/2"]
+    assert b"raw page" in bytes(warc["http://a.example/2"]["html"])
