@@ -411,3 +411,60 @@ def write_warc_fs(spark: SparkSession, path: str, records: list,
     finally:
         stream.close()
     return path
+
+
+WAT_LINKS_SCHEMA = ("url string, warc_ts timestamp, href string, "
+                    "kind string")
+
+
+def read_wat_links(spark: SparkSession, path: str,
+                   rows_per_batch: int = 4096) -> DataFrame:
+    """Common-Crawl WAT archives (``WARC-Type: metadata``, JSON
+    payloads) → outlink rows ``(url, warc_ts, href, kind)`` — the third
+    member of the WARC/WET/WAT trio, feeding the link-graph family
+    (``functions.links.host_edges`` / PageRank) without an HTML parse.
+
+    The payload walk follows the published WAT layout
+    (``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    .Links[] = {path, url}``) and is tolerant: malformed JSON or a
+    missing branch yields no rows for that record, never a task
+    failure.  Same scale shape as ``read_warc_pages``: one task per
+    archive, streamed record batches, the compressed file is the
+    working set."""
+    import json as _json
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    cols = ["url", "warc_ts", "href", "kind"]
+
+    def parse(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = []
+                for r in _records_to_rows(bytes(content),
+                                          record_types=("metadata",),
+                                          as_text=True):
+                    try:
+                        doc = _json.loads(r["text"])
+                        links = (doc["Envelope"]["Payload-Metadata"]
+                                 ["HTTP-Response-Metadata"]
+                                 ["HTML-Metadata"]["Links"])
+                    except (ValueError, KeyError, TypeError):
+                        continue
+                    if not isinstance(links, list):
+                        continue
+                    for ln in links:
+                        if not isinstance(ln, dict) or "url" not in ln:
+                            continue
+                        rows.append({
+                            "url": r["url"], "warc_ts": r["warc_ts"],
+                            "href": str(ln["url"]),
+                            "kind": str(ln.get("path", ""))})
+                        if len(rows) >= rows_per_batch:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, WAT_LINKS_SCHEMA)

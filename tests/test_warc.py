@@ -179,3 +179,38 @@ def test_read_wet_pages_conversion_records(spark, tmp_path):
     warc = {r["url"]: r for r in read_warc_pages(spark, path).collect()}
     assert sorted(warc) == ["http://a.example/2"]
     assert b"raw page" in bytes(warc["http://a.example/2"]["html"])
+
+
+def test_read_wat_links(spark, tmp_path):
+    """WAT metadata records: the published Envelope→HTML-Metadata→Links
+    walk yields (url, href, kind) rows; malformed JSON and non-metadata
+    records contribute nothing (tolerant, no task failure)."""
+    import json
+
+    from ocr_devnagari_spark.sources.warc import read_wat_links, write_warc
+
+    def wat(links):
+        return json.dumps({"Envelope": {"Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": {
+                "Links": links}}}}}).encode()
+
+    recs = [
+        ("http://a.example/1", "2024-03-01T00:00:00Z",
+         wat([{"path": "A@/href", "url": "http://b.example/x"},
+              {"path": "IMG@/src", "url": "http://c.example/i.png"},
+              {"nourl": True}]), "metadata"),
+        ("http://a.example/2", "2024-03-01T00:00:01Z",
+         b"{not json", "metadata"),
+        ("http://a.example/3", "2024-03-01T00:00:02Z",
+         json.dumps({"Envelope": {}}).encode(), "metadata"),
+        ("http://a.example/4", "2024-03-01T00:00:03Z",
+         b"<html>ignored response</html>", "response"),
+    ]
+    path = str(tmp_path / "x.wat.gz")
+    write_warc(path, recs)
+    got = sorted((r["url"], r["href"], r["kind"])
+                 for r in read_wat_links(spark, path).collect())
+    assert got == [
+        ("http://a.example/1", "http://b.example/x", "A@/href"),
+        ("http://a.example/1", "http://c.example/i.png", "IMG@/src"),
+    ]
