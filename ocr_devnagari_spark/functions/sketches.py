@@ -125,7 +125,11 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
 
 def _mg_update(counters: dict, weighted_items, capacity: int) -> dict:
     """One weighted Misra-Gries merge step (module-level so the
-    survival guarantee is unit/property-testable without Spark)."""
+    survival guarantee is unit/property-testable without Spark).
+    Pure: the input dict is copied, never half-mutated — a caller
+    keeping its own reference sees either the old or the returned
+    state, not an incremented-but-undecremented hybrid."""
+    counters = dict(counters)
     for v, c in weighted_items:
         counters[v] = counters.get(v, 0) + int(c)
     while len(counters) > capacity:

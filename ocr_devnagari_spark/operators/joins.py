@@ -202,16 +202,20 @@ def range_join(points: DataFrame, intervals: DataFrame,
     # materialized blocks rather than a full re-evaluation.
     intervals = _materialize(intervals)
     if bucket_width is None:
-        # first positive of (p50, p90) interval length — p50 alone can
-        # be 0 when point intervals dominate, which would route every
-        # real interval to the wide path
+        # median POSITIVE interval length (point intervals excluded —
+        # with them in the sketch a point-dominated mix would yield 0
+        # and route every real interval to the wide path); a quantile
+        # over positive values is positive, so the only fallback is the
+        # all-points/empty case, where the width is immaterial (each
+        # point interval occupies exactly one bucket at any width)
         qs = (intervals
               .select((F.col(hi_col) - F.col(lo_col)).cast("double")
                       .alias("_len"))
-              .approxQuantile("_len", [0.5, 0.9], 0.01))
-        bucket_width = next((q for q in qs if q and q > 0), 1.0)
+              .filter(F.col("_len") > 0)
+              .approxQuantile("_len", [0.5], 0.01))
+        bucket_width = qs[0] if qs else 1.0
         log.info("range_join: auto bucket_width=%s "
-                 "(median/p90 interval length)", bucket_width)
+                 "(median positive interval length)", bucket_width)
     lo_b = F.floor(F.col(lo_col) / bucket_width).cast("long")
     hi_b = F.floor(F.col(hi_col) / bucket_width).cast("long")
     n_b = (hi_b - lo_b + F.lit(1))

@@ -175,6 +175,21 @@ def _records_to_rows(content: bytes, record_types=("response",),
                    "text": None, "lang": None}
 
 
+def _flush_chunks(row_iter, cols, rows_per_batch: int):
+    """Accumulate dict rows from ``row_iter`` and yield them as
+    pandas frames of ≤ ``rows_per_batch`` rows — the one shared
+    bounded-working-set loop behind every mapInPandas parser here."""
+    import pandas as pd
+    rows = []
+    for row in row_iter:
+        rows.append(row)
+        if len(rows) >= rows_per_batch:
+            yield pd.DataFrame(rows, columns=cols)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc_pages(spark: SparkSession, path: str,
                     rows_per_batch: int = 1024,
                     record_types=("response",),
@@ -184,8 +199,6 @@ def read_warc_pages(spark: SparkSession, path: str,
     stream out in ``rows_per_batch`` chunks, so the task working set is
     the COMPRESSED file (held by ``binaryFile``) + one chunk of decoded
     records — never the whole decompressed archive."""
-    import pandas as pd
-
     from ..plans.pipeline import PAGES_SCHEMA
 
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -194,15 +207,10 @@ def read_warc_pages(spark: SparkSession, path: str,
     def parse(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                rows = []
-                for row in _records_to_rows(bytes(content),
-                                            record_types, as_text):
-                    rows.append(row)
-                    if len(rows) >= rows_per_batch:
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                yield from _flush_chunks(
+                    _records_to_rows(bytes(content), record_types,
+                                     as_text),
+                    cols, rows_per_batch)
 
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
@@ -312,14 +320,8 @@ def warc_cdx_index(spark: SparkSession, path: str,
         for pdf in batches:
             for fp, content in zip(pdf["path"], pdf["content"]):
                 name = fp.rsplit("/", 1)[-1]
-                rows = []
-                for row in _cdx_rows(bytes(content), name):
-                    rows.append(row)
-                    if len(rows) >= rows_per_batch:
-                        yield pd.DataFrame(rows, columns=CDX_COLUMNS)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=CDX_COLUMNS)
+                yield from _flush_chunks(_cdx_rows(bytes(content), name),
+                                         CDX_COLUMNS, rows_per_batch)
 
     return files.mapInPandas(parse, schema)
 
@@ -433,38 +435,32 @@ def read_wat_links(spark: SparkSession, path: str,
     working set."""
     import json as _json
 
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("content")
     cols = ["url", "warc_ts", "href", "kind"]
+
+    def link_rows(content):
+        for r in _records_to_rows(content, record_types=("metadata",),
+                                  as_text=True):
+            try:
+                doc = _json.loads(r["text"])
+                links = (doc["Envelope"]["Payload-Metadata"]
+                         ["HTTP-Response-Metadata"]
+                         ["HTML-Metadata"]["Links"])
+            except (ValueError, KeyError, TypeError):
+                continue
+            if not isinstance(links, list):
+                continue
+            for ln in links:
+                if not isinstance(ln, dict) or "url" not in ln:
+                    continue
+                yield {"url": r["url"], "warc_ts": r["warc_ts"],
+                       "href": str(ln["url"]),
+                       "kind": str(ln.get("path", ""))}
 
     def parse(batches):
         for pdf in batches:
             for content in pdf["content"]:
-                rows = []
-                for r in _records_to_rows(bytes(content),
-                                          record_types=("metadata",),
-                                          as_text=True):
-                    try:
-                        doc = _json.loads(r["text"])
-                        links = (doc["Envelope"]["Payload-Metadata"]
-                                 ["HTTP-Response-Metadata"]
-                                 ["HTML-Metadata"]["Links"])
-                    except (ValueError, KeyError, TypeError):
-                        continue
-                    if not isinstance(links, list):
-                        continue
-                    for ln in links:
-                        if not isinstance(ln, dict) or "url" not in ln:
-                            continue
-                        rows.append({
-                            "url": r["url"], "warc_ts": r["warc_ts"],
-                            "href": str(ln["url"]),
-                            "kind": str(ln.get("path", ""))})
-                        if len(rows) >= rows_per_batch:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                yield from _flush_chunks(link_rows(bytes(content)),
+                                         cols, rows_per_batch)
 
     return files.mapInPandas(parse, WAT_LINKS_SCHEMA)

@@ -173,11 +173,19 @@ def stream_heavy_hitters(
 
     Each drain emits every touched shard's full candidate set tagged
     with the shard's cumulative row count ``n_shard`` (monotone per
-    shard, so the latest emission per shard = max ``n_shard``).  An
-    exact recount — the batch operator's pass 2 — can then run over the
+    shard, so the latest emission per shard = max ``n_shard``).  A
+    summary that decrements to EMPTY (possible: > k equal-count
+    distinct values in one drain) still emits one sentinel row with
+    ``value`` NULL so the protocol holds — consumers read candidates
+    as the non-NULL values of the max-``n_shard`` rows.  An exact
+    recount — the batch operator's pass 2 — can then run over the
     committed table against the emitted candidates when exact counts
     are needed.
     """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
     events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     tagged = (events.select(F.col(val_col).cast("string").alias("val"))
               .filter(F.col("val").isNotNull())
@@ -199,11 +207,16 @@ def stream_heavy_hitters(
                 counters, pdf["val"].value_counts().items(), k)
         state.update((list(counters.keys()),
                       [int(c) for c in counters.values()], int(n)))
+        # sentinel row when the summary emptied: n_shard must still
+        # advance in the OUTPUT, not only in state, or the latest-
+        # emission protocol would silently serve stale candidates
+        vals = list(counters.keys()) or [None]
+        cnts = [int(c) for c in counters.values()] or [None]
         yield pd.DataFrame({
-            "shard": [key[0]] * len(counters),
-            "value": list(counters.keys()),
-            "cnt_lo": [int(c) for c in counters.values()],
-            "n_shard": [int(n)] * len(counters)})
+            "shard": [key[0]] * len(vals),
+            "value": vals,
+            "cnt_lo": cnts,
+            "n_shard": [int(n)] * len(vals)})
 
     out = (tagged.groupBy("shard")
            .applyInPandasWithState(

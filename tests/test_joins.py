@@ -247,8 +247,9 @@ def test_range_join_auto_bucket_width(spark):
     got = {(r["pid"], r["iid"]) for r in
            range_join(pdf, idf, bucket_width=None).collect()}
     assert got == exp
-    # p50 = 0 (point intervals dominate): p90 fallback keeps the one
-    # real interval on the narrow path and results stay exact
+    # point intervals dominate: the sketch runs over POSITIVE lengths
+    # only, so the real interval still sets the width (narrow path)
+    # and results stay exact
     ivs0 = [(j, float(j), float(j)) for j in range(20)] \
         + [(99, 0.0, 400.0)]
     idf0 = spark.createDataFrame(ivs0, "iid long, lo double, hi double")

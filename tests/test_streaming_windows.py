@@ -156,7 +156,8 @@ def test_stream_heavy_hitters_state_survives_drains(spark, landing):
             if r["n_shard"] == latest_n[r["shard"]]]
     by_shard: dict = {}
     for r in last:
-        by_shard.setdefault(r["shard"], {})[r["value"]] = r["cnt_lo"]
+        if r["value"] is not None:        # skip empty-summary sentinels
+            by_shard.setdefault(r["shard"], {})[r["value"]] = r["cnt_lo"]
     assert all(len(c) <= K for c in by_shard.values())
 
     # batch truth with the SAME shard tagging
@@ -177,3 +178,50 @@ def test_stream_heavy_hitters_state_survives_drains(spark, landing):
         if v in by_shard.get(sh, {}):
             cnt = by_shard[sh][v]
             assert cnt <= f and f - cnt <= bound, (sh, v, f, cnt)
+
+
+def test_stream_heavy_hitters_empty_summary_sentinel(spark, tmp_path):
+    """A drain that decrements the MG summary to empty still advances
+    n_shard in the OUTPUT (sentinel row, value NULL) so the latest-
+    emission protocol never serves stale candidates."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_devnagari_spark.streaming.windows import stream_heavy_hitters
+
+    in_dir, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    os.makedirs(in_dir)
+
+    def _write(name, users):
+        t = pa.table({
+            "event_id": pa.array(range(len(users)), pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 1)] * len(users),
+                           pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["c"] * len(users)),
+            "value": pa.array([1.0] * len(users)),
+            "props": pa.array([""] * len(users)),
+        })
+        pq.write_table(t, f"{in_dir}/{name}.parquet")
+
+    # 3 equal-count distinct values at k=2 → summary decrements empty
+    _write("b1", [1, 2, 3])
+    stream_heavy_hitters(spark, in_dir, out, cp, k=2, shards=1)
+    got1 = spark.read.parquet(out).collect()
+    assert [(r["value"], r["n_shard"]) for r in got1] == [(None, 3)]
+
+    _write("b2", [7, 7, 7])                # clear heavy hitter arrives
+    stream_heavy_hitters(spark, in_dir, out, cp, k=2, shards=1)
+    emitted = spark.read.parquet(out)
+    mx = emitted.agg(F.max("n_shard")).first()[0]
+    assert mx == 6                         # output n advanced past 3
+    latest = [r for r in emitted.collect() if r["n_shard"] == mx]
+    assert {r["value"] for r in latest} == {"7"}
+
+    import pytest
+    with pytest.raises(ValueError):
+        stream_heavy_hitters(spark, in_dir, out, cp, k=0)
+    with pytest.raises(ValueError):
+        stream_heavy_hitters(spark, in_dir, out, cp, shards=0)
