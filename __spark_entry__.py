@@ -1633,6 +1633,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "offset", "length", "mime", "status")
     q["warc_cdx"] = warc_cdx
 
+    # ---- WET source: conversion-record text archives (rows-only) ----
+    def wet_roundtrip(spark, sf_dir):
+        _ensure_shipped(spark)   # record parsing runs in mapInPandas
+        from ocr_devnagari_spark.sources.warc import (
+            read_wet_pages,
+            write_warc_fs,
+        )
+        d = _t(spark, sf_dir, "documents")
+        rows = (d.filter(F.col("doc_id") < 20)
+                .select("doc_id", "text").orderBy("doc_id").collect())
+        recs = [(f"http://w.example/{r['doc_id']}",
+                 "2024-03-01T00:00:00Z", r["text"].encode(),
+                 "conversion") for r in rows]
+        path = _gate_fixture_base(
+            spark, "ocrds_gate_wet",
+            f"{spark.sparkContext.applicationId}.wet.gz")
+        write_warc_fs(spark, path, recs)
+        return read_wet_pages(spark, path).select(
+            "url", F.length("text").alias("n_chars"))
+    q["wet_roundtrip"] = wet_roundtrip
+
+    # ---- WAT source: metadata-record link extraction (rows-only) ----
+    def wat_links(spark, sf_dir):
+        _ensure_shipped(spark)   # record parsing runs in mapInPandas
+        import json as _json
+
+        from ocr_devnagari_spark.sources.warc import (
+            read_wat_links,
+            write_warc_fs,
+        )
+        recs = []
+        for i in range(20):
+            links = [{"path": "A@/href",
+                      "url": f"http://t{j}.example/p{i}"}
+                     for j in range(i % 4)]
+            payload = _json.dumps({"Envelope": {"Payload-Metadata": {
+                "HTTP-Response-Metadata": {"HTML-Metadata": {
+                    "Links": links}}}}}).encode()
+            recs.append((f"http://w.example/{i}",
+                         "2024-03-01T00:00:00Z", payload, "metadata"))
+        path = _gate_fixture_base(
+            spark, "ocrds_gate_wat",
+            f"{spark.sparkContext.applicationId}.wat.gz")
+        write_warc_fs(spark, path, recs)
+        return read_wat_links(spark, path).select("url", "href", "kind")
+    q["wat_links"] = wat_links
+
     # ---- authority-weighted corpus mix (pagerank × hash sampling) ----
     def authority_mix(spark, sf_dir):
         from ocr_devnagari_spark.plans.curation import (
