@@ -63,6 +63,54 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _conf_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('4194304', '128m', '1g')."""
+    v = v.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suf, m in mult.items():
+        if v.endswith(suf + "b"):
+            return int(float(v[:-2]) * m)
+        if v.endswith(suf):
+            return int(float(v[:-1]) * m)
+    if v.endswith("b"):
+        v = v[:-1]
+    return int(v)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for COMPUTE-HEAVY first stages over
+    compact inputs (guide §2.5 'input skew: one huge unsplittable file
+    … repartition immediately after the read').  The driver tables are
+    single-row-group parquet files, so their scans run as ONE task no
+    matter ``maxPartitionBytes`` — and a regex projection / Arrow pass /
+    shingle explode right after the scan is then single-core.  A
+    round-robin repartition to the session's core count moves the
+    compact table once and parallelizes everything downstream.
+
+    SIZE-GATED so it can never become a payload shuffle of a large
+    corpus: inputs whose file bytes already split into ≥ cores scan
+    tasks are returned unchanged (at 100 TB the gate never fires — the
+    repartition is strictly a small-input mitigation).  Applied only to
+    queries whose first stage is compute-heavy; cheap scans (columnar
+    aggregates) keep the single-task plan, which is faster than paying
+    an exchange.  Results are partitioning-independent by design
+    (SURVEY.md §7.3 purity), which the oracle gate re-checks."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        split = _conf_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        total = 0
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            total += os.path.getsize(p)
+    except Exception:
+        return df          # non-local files / no listing → leave as-is
+    if total >= cores * split:
+        return df
+    return df.repartition(cores)
+
+
 def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:
     """Warehouse-homed scratch location for a driver-gate fixture,
     managed via the Hadoop FS API (the fixture reads/writes go through
@@ -70,8 +118,11 @@ def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:
     filesystem they land on).  Returns ``<warehouse>/<name>/<entry>``
     as a path string after GC'ing (a) this session's own previous entry
     — same-session reruns must not trip over stale state — and (b) any
-    sibling untouched for a day (dead sessions' leftovers; nothing
-    leaks per gate run).  A live sibling is never touched: a per-call
+    sibling untouched for a week (dead sessions' leftovers; nothing
+    leaks per gate run).  The horizon is a week, not a day, so a
+    long-lived concurrent session cannot lose a fixture it wrote
+    earlier the same day to another session's GC between its write and
+    a later gate reread.  A live sibling is never touched: a per-call
     delete of the whole dir would race a concurrent session's in-flight
     read.  Every delete is individually best-effort: on a shared store
     (HDFS/S3A) another user's stale entry may be undeletable
@@ -83,7 +134,7 @@ def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:
     hpath = sc._jvm.org.apache.hadoop.fs.Path
     root = hpath(spark.conf.get("spark.sql.warehouse.dir"), name)
     fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
-    cutoff = int((_time.time() - 86400) * 1000)
+    cutoff = int((_time.time() - 7 * 86400) * 1000)
     try:
         stats = list(fs.listStatus(root)) if fs.exists(root) else []
     except Exception:
@@ -606,7 +657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- M5/A1 hybrid routing stats ----
     def m5_route_stats(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents").withColumn("t2", _spiked_text())
+        # _spread: the route expression is a heavy regex cascade per row
+        # and the partial aggregate keeps everything pre-shuffle — on a
+        # single-row-group input the whole query would run on one core
+        d = _spread(_t(spark, sf_dir, "documents")).withColumn(
+            "t2", _spiked_text())
         route = (F.when(~validation_ok(F.col("t2"))
                         | (confidence_expr(F.col("t2")) < 0.85)
                         | critical_flag(F.col("t2")),
@@ -698,7 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis: quality score ----
     def quality_scores(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
+        # _spread: ~15 regex passes per row, no shuffle at all — the
+        # single-row-group scan otherwise serializes it on one core
+        d = _spread(_t(spark, sf_dir, "documents"))
         return d.select("doc_id",
                         quality_score(F.col("text")).alias("quality"))
     q["quality_scores"] = quality_scores
@@ -962,8 +1019,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup: MinHash LSH (rows-only; pytest has the brute oracle) ----
     def dedup_minhash(spark, sf_dir):
         _ensure_shipped(spark)
-        return minhash_dedup(_dupful_docs(spark, sf_dir), threshold=0.8) \
-            .select("id_a", "id_b")
+        # _spread: the signature stage (shingle explode + 32 xxhash
+        # aggregates) is the plan's dominant compute and sits before the
+        # first shuffle — single-task on a single-row-group input
+        return minhash_dedup(_spread(_dupful_docs(spark, sf_dir)),
+                             threshold=0.8).select("id_a", "id_b")
     q["dedup_minhash"] = dedup_minhash
 
     # ---- dedup: winnowed fingerprint overlap (rows-only; the pytest
@@ -1331,7 +1391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ocr_devnagari_spark.functions.repetition import (
             gopher_repetition_pass,
         )
-        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        # _spread: one shuffle-free Arrow pass — single-row-group input
+        # would otherwise run the whole Counter stage on one core
+        d = _spread(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "text")
         return gopher_repetition_pass(d)
     q["repetition_gate"] = repetition_gate
 
@@ -1435,7 +1498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def curate_full_report(spark, sf_dir):
         _ensure_shipped(spark)   # repetition gate's Arrow path
         from ocr_devnagari_spark.plans.curation import curation_report
-        d = _t(spark, sf_dir, "documents")
+        # _spread: the gate cascade (giant spiked-text expression +
+        # gopher/blocklist regexes + Arrow repetition pass) dominates
+        # and runs pre-shuffle — single-core on this input otherwise
+        d = _spread(_t(spark, sf_dir, "documents"))
         spiked = (d.select("doc_id", "source", _pii_text().alias("text"))
                   .select("doc_id", "source",
                           _blockspike_text().alias("text")))
@@ -1858,7 +1924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exact_substring_dedup,
         )
         _ensure_shipped(spark)   # Arrow rebuild imports the package
-        d = _t(spark, sf_dir, "documents")
+        # _spread: the Arrow window-hash stage runs pre-shuffle on the
+        # raw text — single-task on a single-row-group input otherwise
+        d = _spread(_t(spark, sf_dir, "documents"))
         spiked = d.select(
             "doc_id",
             F.when(F.col("doc_id") % 10 == 0,

@@ -178,14 +178,63 @@ def materialize_events(html_str: str) -> list:
     escalated ~8-15% of documents previously tokenized the HTML twice
     (fast pass streams events, then precise_extract_html re-ran the
     tokenizer to build the DOM). The guard keeps partial-event semantics
-    identical to the streaming consumers' try/except."""
-    ev: list = []
+    identical to the streaming consumers' try/except.
+
+    This is a list-building twin of ``iter_html_events`` (no generator
+    suspend/resume on the per-doc hot path, markup dispatch keyed on
+    the char after '<' before any comment probe) — event-for-event
+    identical to the generator, pinned by test."""
+    out: list = []
+    emit = out.append
+    html = html_str
+    i, n = 0, len(html)
+    find = html.find
+    match = _TAG_RE.match
     try:
-        for e in iter_html_events(html_str):
-            ev.append(e)
+        while i < n:
+            lt = find("<", i)
+            if lt < 0:
+                d = html[i:]
+                emit((DATA, (unescape(d) if "&" in d else d)))
+                break
+            if lt > i:
+                d = html[i:lt]
+                emit((DATA, (unescape(d) if "&" in d else d)))
+            nxt = html[lt + 1: lt + 2]
+            if nxt == "!":
+                if html.startswith("<!--", lt):
+                    end = find("-->", lt + 4)
+                    i = n if end < 0 else end + 3
+                else:
+                    end = find(">", lt)
+                    i = n if end < 0 else end + 1
+                continue
+            if nxt == "?":
+                end = find(">", lt)
+                i = n if end < 0 else end + 1
+                continue
+            m = match(html, lt)
+            if not m:
+                emit((DATA, "<"))
+                i = lt + 1
+                continue
+            closing, tag, attr_str, selfclose = m.groups()
+            tag = tag.lower()
+            i = m.end()
+            if closing:
+                emit((END, tag))
+                continue
+            emit((START, (tag, attr_str, bool(selfclose))))
+            if tag in _RAWTEXT_TAGS and not selfclose:
+                m2 = _RAWTEXT_CLOSE[tag].search(html, i)
+                if m2 is None:
+                    i = n                   # unterminated: rest is raw
+                else:
+                    emit((END, tag))
+                    i = m2.end()
     except Exception:
         pass
-    return ev
+    return out
 
 
 def segment_blocks(html_str_or_events) -> list[Block]:
@@ -501,7 +550,9 @@ def _count_letters(text: str) -> int:
     isalpha — confidence feeds routing, routing feeds byte-identity)."""
     if text.isascii():
         return len(_ASCII_NONLETTER_RE.sub("", text))
-    return sum(1 for c in text if c.isalpha())
+    # sum(map(...)) over the bound C method: no per-char generator
+    # frame; bools sum as ints, value unchanged
+    return sum(map(str.isalpha, text))
 
 
 def estimate_confidence(text: str) -> float:

@@ -187,8 +187,10 @@ def _py_signals(text: str, specs: tuple):
             # 0/0 would raise under ANSI mode)
             out.append(None)
             continue
-        c = Counter(tuple(words[i:i + n])
-                    for i in range(len(words) - n + 1))
+        # zip over n shifted views builds the gram tuples at C speed —
+        # identical keys/counts to the sliced-tuple generator, ~3× less
+        # Python-loop overhead on the per-document hot path
+        c = Counter(zip(*(words[i:] for i in range(n))))
         if want_top:
             mass = max(cnt * (sum(map(len, g)) + n - 1)
                        for g, cnt in c.items())

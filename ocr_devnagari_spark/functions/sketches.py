@@ -109,6 +109,8 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     row per partition carrying the partition's row count — the total
     rides the same pass instead of costing a third scan of the input
     (``heavy_hitters`` consumes both from one materialization)."""
+    from pyspark.sql import types as T
+
     def run(batches):
         import pandas as pd
         counters: dict = {}
@@ -120,7 +122,11 @@ def _mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
                                   capacity)
         yield pd.DataFrame({col: list(counters.keys()) + [None],
                             "_pn": [None] * len(counters) + [n_part]})
-    return df.select(col).mapInPandas(run, f"{col} string, _pn long")
+    # StructType, not a DDL f-string: a column name needing backticks
+    # (space / dot / hyphen) must not break or misparse the schema
+    schema = T.StructType([T.StructField(col, T.StringType(), True),
+                           T.StructField("_pn", T.LongType(), True)])
+    return df.select(col).mapInPandas(run, schema)
 
 
 def _mg_update(counters: dict, weighted_items, capacity: int) -> dict:
@@ -140,7 +146,18 @@ def _mg_update(counters: dict, weighted_items, capacity: int) -> dict:
     return counters
 
 
-def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+# candidate sets under this row count broadcast into the recount
+# left-semi join (the keeper-map / eval-gram counted-gate discipline);
+# past it — MG candidates are <= k * n_partitions, so a 100 TB input at
+# 10^5-10^6 splits CAN exceed any sane broadcast — the recount falls
+# back to a plain (non-broadcast) left-semi join and AQE picks the
+# strategy.  The result is identical either way; only the plan changes.
+BROADCAST_CANDIDATE_LIMIT = 5_000_000
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100,
+                  broadcast_limit: int = BROADCAST_CANDIDATE_LIMIT
+                  ) -> DataFrame:
     """EXACT heavy hitters: every value of ``col`` whose frequency is
     strictly greater than n/(k+1) (n = non-NULL rows), with its exact
     count — ``(value, cnt)``.
@@ -164,8 +181,15 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     # consuming it twice below does not re-scan the input — the whole
     # operator costs exactly TWO passes over the data (MG + recount)
     mg = _materialize(_mg_candidates(rows, col, k))
-    cand = F.broadcast(
-        mg.filter(F.col(col).isNotNull()).select(col).distinct())
+    cand = mg.filter(F.col(col).isNotNull()).select(col).distinct()
+    # counted broadcast gate over the CHECKPOINTED candidate table (the
+    # count re-reads tiny checkpoint blocks, never the input): under
+    # the limit the recount join broadcasts the candidates; above it
+    # the semi join runs un-hinted (shuffle / AQE's choice) — candidate
+    # volume is k·partitions, which at crawl scale outgrows any
+    # broadcast budget
+    if cand.limit(broadcast_limit + 1).count() <= broadcast_limit:
+        cand = F.broadcast(cand)
     total = mg.agg(F.sum("_pn").alias("_n"))
     counts = (rows.join(cand, on=col, how="left_semi")
               .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))

@@ -167,8 +167,14 @@ def _sample_table(data: bytes, stbl_p: int, stbl_e: int,
     n_chunks = len(chunk_offs)
     for ri, (first, count, _sdi) in enumerate(stsc):
         last = (stsc[ri + 1][0] - 1 if ri + 1 < len(stsc) else n_chunks)
-        first = max(first, len(spc) + 1)
         last = min(last, n_chunks)
+        # chunks BEFORE a gap-starting run are unmapped → 0 samples
+        # (bounded by the chunk table): without the padding, chunk 1
+        # would silently receive a later run's samples-per-chunk,
+        # shifting every sample-to-chunk assignment after a hostile gap
+        if first > len(spc) + 1:
+            spc.extend([0] * (min(first - 1, n_chunks) - len(spc)))
+        first = max(first, len(spc) + 1)
         for _c in range(first, last + 1):
             spc.append(count)
         if len(spc) >= n_chunks:

@@ -84,29 +84,43 @@ def linear_quality_score(df: DataFrame, weights, bias: float = 0.0,
     """
     spark = df.sparkSession
     if not isinstance(weights, DataFrame):
+        weights = list(weights)
+        if broadcast_weights is None:
+            # local model list: the row count is known driver-side, so
+            # the counted gate needs NO Spark job
+            broadcast_weights = len(weights) <= BROADCAST_MODEL_LIMIT
         weights = spark.createDataFrame(
-            list(weights), "term string, w double")
+            weights, "term string, w double")
     if broadcast_weights is None:
         broadcast_weights = (
             weights.limit(BROADCAST_MODEL_LIMIT + 1).count()
             <= BROADCAST_MODEL_LIMIT)
     if broadcast_weights:
         weights = F.broadcast(weights)
+    # LEFT join the model onto the exploded tokens and aggregate ALL
+    # documents in the one doc-keyed aggregation (count(w)/sum(w) skip
+    # the NULL non-matches) instead of inner-join + left join-back onto
+    # a doc_id spine: that spine shape cost a second scan, a second
+    # doc_id exchange and a sort-merge join.  Per-doc partial (map-side)
+    # aggregation keeps the exchange at one row per document either
+    # way, so nothing extra shuffles at scale.  explode_outer keeps
+    # NULL-text documents in the frame (split(NULL) explodes to no
+    # rows), preserving the every-input-document contract.
     toks = df.select(F.col(id_col),
-                     F.explode(_tokens(text_col)).alias("term"))
-    sums = (toks.join(weights, on="term", how="inner")
+                     F.explode_outer(_tokens(text_col)).alias("term"))
+    # the _m marker (not w) counts matches so a NULL model weight still
+    # counts as a hit, exactly like the inner-join form did
+    sums = (toks.join(weights.withColumn("_m", F.lit(1)),
+                      on="term", how="left")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_hits"),
+            .agg(F.count("_m").alias("n_hits"),
                  F.sum("w").alias("_s")))
-    spine = df.select(id_col)
     raw = F.lit(float(bias)) + F.coalesce(F.col("_s"), F.lit(0.0))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6)
-    return (spine.join(sums, on=id_col, how="left")
-            .select(F.col(id_col),
-                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-                    .alias("n_hits"),
-                    score.alias("score"),
-                    (score >= threshold).alias("keep")))
+    return sums.select(F.col(id_col),
+                       F.col("n_hits").cast("long").alias("n_hits"),
+                       score.alias("score"),
+                       (score >= threshold).alias("keep"))
 
 
 def _check_model_params(n_buckets: int, alpha: float) -> None:
@@ -126,6 +140,32 @@ def _py_bucket(g: str, n_buckets: int) -> int:
     expression or the DuckDB oracle."""
     import hashlib
     return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+# per-process memo for the md5 wheel: corpus grams repeat heavily (a
+# Zipf vocabulary), and one md5 costs ~10× a dict hit (measured 4× on
+# the sf0.1 gram stream).  Values are exact — the cache only skips
+# RECOMPUTING the same hash — and the size cap bounds worker memory on
+# adversarial high-cardinality streams (reset, not LRU: O(1), and a
+# refill is still ~cache_size cheap hits ahead of no cache at all).
+_BUCKET_MEMO_CAP = 1_000_000
+
+
+def _bucket_memo(n_buckets: int):
+    """A memoized (gram → bucket) lookup bound to ``n_buckets``."""
+    import hashlib
+    cache: dict = {}
+
+    def bucket(g: str) -> int:
+        b = cache.get(g)
+        if b is None:
+            if len(cache) >= _BUCKET_MEMO_CAP:
+                cache.clear()
+            cache[g] = b = int(
+                hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+        return b
+
+    return bucket
 
 
 def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
@@ -152,6 +192,7 @@ def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
         from collections import Counter
 
         import pandas as pd
+        bucket = _bucket_memo(n_buckets)
         for pdf in batches:
             c: Counter = Counter()
             for text in pdf[text_col]:
@@ -159,12 +200,63 @@ def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
                     continue
                 ws = text.split(" ")
                 for i in range(len(ws) - n + 1):
-                    c[_py_bucket(" ".join(ws[i:i + n]), n_buckets)] += 1
+                    c[bucket(" ".join(ws[i:i + n]))] += 1
             yield pd.DataFrame({"bucket": list(c.keys()),
                                 "c": list(c.values())})
 
     part = df.select(text_col).mapInPandas(run, "bucket long, c long")
     return part.groupBy("bucket").agg(F.sum("c").alias("c"))
+
+
+def _bucket_counts_pair(a: DataFrame, b: DataFrame, n: int,
+                        n_buckets: int, text_col: str,
+                        impl: str) -> tuple[dict, dict]:
+    """Bucket-count maps for TWO corpora in ONE Spark job: tag each
+    side, union, count (side, bucket) — halves the job/collect round
+    trips of the sequential two-pass model build (the DSIR ratio needs
+    both distributions anyway).  Exactly the same per-side counts as
+    two ``_bucket_counts`` runs."""
+    tagged = (a.select(F.lit(0).alias("_side"), F.col(text_col))
+              .unionByName(
+                  b.select(F.lit(1).alias("_side"), F.col(text_col))))
+    if impl == "jvm":
+        counts = (tagged.select(
+                      "_side",
+                      F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("g"))
+                  .select("_side",
+                          hash_bucket(F.col("g"), n_buckets)
+                          .alias("bucket"))
+                  .groupBy("_side", "bucket")
+                  .agg(F.count(F.lit(1)).alias("c"))).collect()
+    elif impl == "arrow":
+        def run(batches):
+            from collections import Counter
+
+            import pandas as pd
+            bucket = _bucket_memo(n_buckets)
+            for pdf in batches:
+                c: Counter = Counter()
+                for side, text in zip(pdf["_side"], pdf[text_col]):
+                    if text is None:
+                        continue
+                    ws = text.split(" ")
+                    for i in range(len(ws) - n + 1):
+                        c[(side, bucket(" ".join(ws[i:i + n])))] += 1
+                yield pd.DataFrame(
+                    {"_side": [k[0] for k in c],
+                     "bucket": [k[1] for k in c],
+                     "c": list(c.values())})
+
+        counts = (tagged.mapInPandas(
+                      run, "_side int, bucket long, c long")
+                  .groupBy("_side", "bucket")
+                  .agg(F.sum("c").alias("c"))).collect()
+    else:
+        raise ValueError("impl must be 'arrow' or 'jvm'")
+    amap = {r["bucket"]: r["c"] for r in counts if r["_side"] == 0}
+    bmap = {r["bucket"]: r["c"] for r in counts if r["_side"] == 1}
+    return amap, bmap
 
 
 def _micro6(x: float) -> int:
@@ -195,38 +287,51 @@ def dsir_bucket_logratios(target: DataFrame, raw: DataFrame,
     (map-side partial sums, ``n_buckets`` final rows)."""
     _check_model_params(n_buckets, alpha)
     spark = target.sparkSession
-    import math
-
-    # totals ride the same tiny aggregates — no extra corpus pass
-    tc = _bucket_counts(target, n, n_buckets, text_col, impl).collect()
-    rc = _bucket_counts(raw, n, n_buckets, text_col, impl).collect()
-    nt = sum(r["c"] for r in tc)
-    nr = sum(r["c"] for r in rc)
-    tmap = {r["bucket"]: r["c"] for r in tc}
-    rmap = {r["bucket"]: r["c"] for r in rc}
-    denom_t = nt + alpha * n_buckets
-    denom_r = nr + alpha * n_buckets
-    micros = [(b, _micro6(math.log((tmap.get(b, 0) + alpha) / denom_t)
-                          - math.log((rmap.get(b, 0) + alpha) / denom_r)))
-              for b in range(n_buckets)]
-    rows = [(b, m, m / 1e6) for b, m in micros]
+    micros = _dsir_micro_map(target, raw, n, n_buckets, alpha,
+                             text_col, impl)
+    rows = [(b, m, m / 1e6) for b, m in sorted(micros.items())]
     return spark.createDataFrame(
         rows, "bucket long, logratio_micro long, logratio double")
 
 
-def _apply_bucket_model(docs: DataFrame, model: DataFrame,
-                        micro_col: str, n: int, n_buckets: int,
+def _dsir_micro_map(target: DataFrame, raw: DataFrame, n: int,
+                    n_buckets: int, alpha: float, text_col: str,
+                    impl: str) -> dict:
+    """{bucket → logratio_micro} computed with ONE Spark job (the
+    tagged-union pair count): the model the Arrow scoring pass
+    broadcasts.  Same numbers as ``dsir_bucket_logratios`` — that
+    public table is just this map with the /1e6 readability column."""
+    import math
+
+    # totals ride the same tiny aggregates — no extra corpus pass
+    tmap, rmap = _bucket_counts_pair(target, raw, n, n_buckets,
+                                     text_col, impl)
+    nt = sum(tmap.values())
+    nr = sum(rmap.values())
+    denom_t = nt + alpha * n_buckets
+    denom_r = nr + alpha * n_buckets
+    return {b: _micro6(math.log((tmap.get(b, 0) + alpha) / denom_t)
+                       - math.log((rmap.get(b, 0) + alpha) / denom_r))
+            for b in range(n_buckets)}
+
+
+def _apply_bucket_model(docs: DataFrame, model, micro_col: str,
+                        n: int, n_buckets: int,
                         id_col: str, text_col: str):
     """Shared Arrow application of a tiny (bucket → integer-micro)
-    model: the model rows are collected (≤ ``n_buckets`` by
-    construction), shipped as a Spark broadcast variable, and each
-    document scores in ONE narrow Arrow pass — ``(id, n_grams,
-    micro_sum)`` with exact Python-int accumulation, ZERO shuffles and
-    no per-gram rows.  Grams whose bucket has no model row don't count
-    (mirrors the inner join of the Catalyst path)."""
+    model: the model rows (a ``{bucket: micro}`` dict built driver-
+    side, or a model DataFrame collected here — ≤ ``n_buckets`` rows by
+    construction) ship as a Spark broadcast variable, and each document
+    scores in ONE narrow Arrow pass — ``(id, n_grams, micro_sum)`` with
+    exact Python-int accumulation, ZERO shuffles and no per-gram rows.
+    Grams whose bucket has no model row don't count (mirrors the inner
+    join of the Catalyst path)."""
     from pyspark.sql import types as T
-    rmap = {r["bucket"]: r[micro_col]
-            for r in model.select("bucket", micro_col).collect()}
+    if isinstance(model, dict):
+        rmap = model
+    else:
+        rmap = {r["bucket"]: r[micro_col]
+                for r in model.select("bucket", micro_col).collect()}
     bc = docs.sparkSession.sparkContext.broadcast(rmap)
     id_type = docs.schema[id_col].dataType
     schema = T.StructType([
@@ -238,6 +343,7 @@ def _apply_bucket_model(docs: DataFrame, model: DataFrame,
     def run(batches):
         import pandas as pd
         m = bc.value
+        bucket = _bucket_memo(n_buckets)
         for pdf in batches:
             ids, ngs, mss = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
@@ -245,8 +351,7 @@ def _apply_bucket_model(docs: DataFrame, model: DataFrame,
                 if text is not None:
                     ws = text.split(" ")
                     for i in range(len(ws) - n + 1):
-                        mv = m.get(_py_bucket(" ".join(ws[i:i + n]),
-                                              n_buckets))
+                        mv = m.get(bucket(" ".join(ws[i:i + n])))
                         if mv is None:
                             continue
                         cnt += 1
@@ -287,7 +392,14 @@ def dsir_weights(docs: DataFrame, target: DataFrame, n: int = 2,
     pure-Catalyst ``impl='jvm'`` explode→broadcast-join→sum is pinned
     equal by test.  Both end in the same exact integer micro-sum and
     one IEEE division, so the doubles are bit-identical."""
-    if ratios is None:
+    if ratios is None and impl == "arrow":
+        # build the micro map driver-side and skip the model-DataFrame
+        # round trip (createDataFrame + collect = one extra Spark job
+        # per scoring call); ``dsir_bucket_logratios`` emits the same
+        # numbers when a persistent/shareable model table is wanted
+        ratios = _dsir_micro_map(target, docs, n, n_buckets, alpha,
+                                 text_col, impl)
+    elif ratios is None:
         ratios = dsir_bucket_logratios(target, docs, n, n_buckets,
                                        alpha, text_col, impl)
     if impl == "arrow":
@@ -334,16 +446,23 @@ def lm_bucket_logprobs(target: DataFrame, n: int = 1,
     Exactly ``n_buckets`` rows come out, so the model broadcasts onto
     any corpus; training is one explode→groupBy aggregate."""
     _check_model_params(n_buckets, alpha)
+    micros = _lm_micro_map(target, n, n_buckets, alpha, text_col, impl)
+    rows = [(b, m, m / 1e6) for b, m in sorted(micros.items())]
+    return target.sparkSession.createDataFrame(
+        rows, "bucket long, logprob_micro long, logprob double")
+
+
+def _lm_micro_map(target: DataFrame, n: int, n_buckets: int,
+                  alpha: float, text_col: str, impl: str) -> dict:
+    """{bucket → logprob_micro} — the LM the Arrow scoring pass
+    broadcasts; one counting job, no model-DataFrame round trip."""
     import math
     tc = _bucket_counts(target, n, n_buckets, text_col, impl).collect()
     nt = sum(r["c"] for r in tc)
     tmap = {r["bucket"]: r["c"] for r in tc}
     denom = nt + alpha * n_buckets
-    micros = [(b, _micro6(math.log((tmap.get(b, 0) + alpha) / denom)))
-              for b in range(n_buckets)]
-    rows = [(b, m, m / 1e6) for b, m in micros]
-    return target.sparkSession.createDataFrame(
-        rows, "bucket long, logprob_micro long, logprob double")
+    return {b: _micro6(math.log((tmap.get(b, 0) + alpha) / denom))
+            for b in range(n_buckets)}
 
 
 def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
@@ -374,8 +493,14 @@ def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
     if logprobs is None:
         if target is None:
             raise ValueError("either target or logprobs is required")
-        logprobs = lm_bucket_logprobs(target, n, n_buckets, alpha,
-                                      text_col, impl)
+        if impl == "arrow":
+            # driver-side micro map: skips the model-DataFrame round
+            # trip (createDataFrame + collect), same numbers
+            logprobs = _lm_micro_map(target, n, n_buckets, alpha,
+                                     text_col, impl)
+        else:
+            logprobs = lm_bucket_logprobs(target, n, n_buckets, alpha,
+                                          text_col, impl)
     if impl == "arrow":
         scored = _apply_bucket_model(docs, logprobs, "logprob_micro",
                                      n, n_buckets, id_col, text_col)

@@ -18,11 +18,14 @@
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -512,11 +515,15 @@ def knn_self_join(emb: DataFrame, threshold: float = 0.95,
             .distinct())   # a pair may collide in several bands
 
 
+SEMDEDUP_MAX_CLUSTER = 10_000
+
+
 def semdedup(emb: DataFrame, tau: float = 0.8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              cluster_col: str | None = None,
              n_centroids: int = 16, iterations: int = 5,
-             centroids: list | None = None) -> DataFrame:
+             centroids: list | None = None,
+             max_cluster: int | None = SEMDEDUP_MAX_CLUSTER) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     embedding space, then drop near-duplicates WITHIN each cluster —
     pairwise cosine is computed only inside a cluster, so the quadratic
@@ -546,7 +553,18 @@ def semdedup(emb: DataFrame, tau: float = 0.8,
     within-cluster self-join shuffles on the cluster key — a skewed
     (mega-)cluster is AQE-splittable on the join; at 10^12 rows raise
     ``n_centroids`` so expected cluster size stays bounded, exactly as
-    the paper prescribes."""
+    the paper prescribes.
+
+    ``max_cluster`` ENFORCES that boundedness (the ``dedup.py``
+    ``max_bucket`` discipline): a cluster larger than the cap — one
+    degenerate centroid, or a hot ``cluster_col`` value — would make
+    the self-join quadratic in ITS size no matter what AQE splits.
+    Oversized clusters are excluded from the pair search (counted and
+    logged; their rows all come back ``keep=True``).  HONEST LIMIT:
+    semantic duplicates inside an excluded mega-cluster are not found —
+    raise ``n_centroids`` (or pre-split the hot cluster) rather than
+    the cap, which is exactly the paper's prescription.  ``None``
+    disables the guard for provably-bounded clusterings."""
     if cluster_col is not None:
         assigned = emb.select(F.col(id_col),
                               F.col(cluster_col).alias("cluster"),
@@ -560,7 +578,28 @@ def semdedup(emb: DataFrame, tau: float = 0.8,
     v = F.col(vec_col).cast("array<double>")
     e = assigned.select(F.col(id_col).alias("id"), "cluster",
                         v.alias("v"))
-    l, r = e.alias("l"), e.alias("r")
+    joinable = e
+    if max_cluster is not None:
+        from .dedup import _materialize
+
+        # one (cluster → size) aggregate (map-side partial: tiny
+        # result), materialized so the oversize count and the semi
+        # join below read checkpoint blocks instead of re-running the
+        # assignment lineage
+        sizes = _materialize(e.groupBy("cluster")
+                             .agg(F.count(F.lit(1)).alias("_csize")))
+        n_over = sizes.filter(F.col("_csize") > max_cluster).count()
+        if n_over:
+            log.warning(
+                "semdedup: excluding %d cluster(s) larger than "
+                "max_cluster=%d from the pair search — semantic dups "
+                "inside them are NOT found (see semdedup docstring); "
+                "raise n_centroids or pre-split the hot cluster",
+                n_over, max_cluster)
+        small = sizes.filter(F.col("_csize") <= max_cluster) \
+            .select("cluster")
+        joinable = e.join(small, "cluster", "left_semi")
+    l, r = joinable.alias("l"), joinable.alias("r")
     drops = (l.join(r, "cluster")
              .filter(F.col("l.id") < F.col("r.id"))
              .filter(F.round(cosine_col(F.col("l.v"), F.col("r.v")), 6)

@@ -67,6 +67,23 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Pre-warmed Python-worker daemon (guide §4.5): forked workers
+    # inherit pandas/pyarrow/numpy + the extraction core via
+    # copy-on-write instead of importing them per worker (~0.6 s each,
+    # and N cold workers otherwise stampede the same cores with
+    # duplicate imports).  Local mode only by default: the JVM child
+    # inherits this process's PYTHONPATH, so the daemon module is
+    # guaranteed importable; on a multi-executor cluster ship the
+    # package with --py-files AND set spark.executorEnv.PYTHONPATH,
+    # then opt in with OCRDS_WORKER_DAEMON=1 (see submit_job.py).
+    use_daemon = os.environ.get("OCRDS_WORKER_DAEMON", "1") != "0"
+    if use_daemon:
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + pp if pp else ""))
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -81,6 +98,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("OCRDS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    if use_daemon:
+        builder = builder.config("spark.python.daemon.module",
+                                 "ocr_devnagari_spark.daemon")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
