@@ -8,6 +8,13 @@ Modes:
   python bench_extra.py time  [names...]   # per-query noop wall, N reps
   python bench_extra.py plans [dir] [names...]   # explain("formatted")
   python bench_extra.py extract            # headline extraction timings
+  python bench_extra.py calibrate          # mp-pool ideal docs/s probe
+
+``calibrate`` measures the HARDWARE's own ceiling — a raw
+``multiprocessing.Pool`` running ``extract_document`` on identical rows,
+no Spark — so a cross-phase comparison of bench numbers can be
+normalized for the documented hypervisor stalls (5× run-to-run variance
+on identical plans).  Record it next to any bench sample you cite.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (same contract as bench.py),
 OCRDS_BENCH_REPS (default 3).
@@ -33,6 +40,11 @@ BENCH_QUERIES = (
 )
 
 
+def _extract_one(url, html):
+    from ocr_devnagari_spark.extract_core import extract_document
+    return extract_document(url, html)["success"]
+
+
 def _spark(cpus: int):
     return get_spark(
         "ocrds-bench-extra", cores=cpus, shuffle_partitions=cpus,
@@ -46,6 +58,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = int(os.environ.get("OCRDS_BENCH_REPS", "3"))
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
+
+    if mode == "calibrate":
+        import multiprocessing as mp
+
+        from ocr_devnagari_spark.corpus import corpus_dir_for_sf
+
+        corpus = corpus_dir_for_sf(0.1)      # 50k docs ≈ a 2-5 s probe
+        import pyarrow.dataset as ds
+        tbl = ds.dataset(os.path.join(corpus, "pages.parquet")) \
+            .to_table(columns=["url", "html"])
+        rows = list(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+        with mp.Pool(cpus) as pool:
+            t0 = time.monotonic()
+            pool.starmap(_extract_one, rows, chunksize=64)
+            dt = time.monotonic() - t0
+        print(json.dumps({"mp_ideal_docs_per_sec": round(len(rows) / dt, 1),
+                          "docs": len(rows), "wall_s": round(dt, 3),
+                          "cpus": cpus}))
+        return
 
     import __spark_entry__ as em
     qs = em.queries()

@@ -182,13 +182,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100,
     # operator costs exactly TWO passes over the data (MG + recount)
     mg = _materialize(_mg_candidates(rows, col, k))
     cand = mg.filter(F.col(col).isNotNull()).select(col).distinct()
-    # counted broadcast gate over the CHECKPOINTED candidate table (the
-    # count re-reads tiny checkpoint blocks, never the input): under
-    # the limit the recount join broadcasts the candidates; above it
-    # the semi join runs un-hinted (shuffle / AQE's choice) — candidate
-    # volume is k·partitions, which at crawl scale outgrows any
-    # broadcast budget
-    if cand.limit(broadcast_limit + 1).count() <= broadcast_limit:
+    # broadcast gate with an a-priori bound first: MG emits ≤ k
+    # counters per partition, so ``k · n_partitions`` bounds the
+    # candidate set WITHOUT running a job — on any sanely-split input
+    # that settles the broadcast decision for free.  Only when the
+    # bound is inconclusive (crawl-scale split counts: 10^5-10^6
+    # partitions × k outgrows any broadcast budget) does the counted
+    # gate run, and it reads the tiny CHECKPOINTED candidate table,
+    # never the input.  Past the limit the recount semi join runs
+    # un-hinted (shuffle / AQE's choice) — the result is identical
+    # either way; only the plan changes.
+    bound = k * max(mg.rdd.getNumPartitions(), 1)
+    if (bound <= broadcast_limit
+            or cand.limit(broadcast_limit + 1).count()
+            <= broadcast_limit):
         cand = F.broadcast(cand)
     total = mg.agg(F.sum("_pn").alias("_n"))
     counts = (rows.join(cand, on=col, how="left_semi")

@@ -270,3 +270,29 @@ def test_heavy_hitters_plan_shape(spark):
     assert "ExistingRDD" in plan          # materialized MG output
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "Cartesian" not in plan
+
+
+def test_heavy_hitters_gated_shuffle_path(spark):
+    """Counted broadcast gate: forcing a zero broadcast budget must
+    route the recount through a NON-broadcast semi join (AQE's pick)
+    with IDENTICAL results — at crawl scale the MG candidate set
+    (≤ k·partitions) outgrows any broadcast, so the fallback is the
+    100-TB path and must stay result-equal."""
+    from ocr_devnagari_spark.functions.sketches import heavy_hitters
+    vals = [("x",)] * 30 + [("y",)] * 20 + [(f"c{i}",) for i in range(40)]
+    df = spark.createDataFrame(vals, "w string").repartition(3)
+    want = sorted(map(tuple, heavy_hitters(df, "w", k=4).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = heavy_hitters(df, "w", k=4, broadcast_limit=0)
+        # with auto-broadcast off AND the gate refusing the hint, the
+        # candidate semi join must plan as a non-broadcast join — the
+        # hinted path would broadcast regardless of this conf
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semi and all("Broadcast" not in ln for ln in semi), plan
+        got = sorted(map(tuple, forced.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and want   # same rows, and non-trivially so

@@ -278,6 +278,32 @@ def test_semdedup_cross_cluster_dups_not_compared(spark):
     assert got == {0: True, 1: True}
 
 
+def test_semdedup_mega_cluster_capped(spark):
+    # pathological clustering: one cluster holds ~90% of the rows
+    # (plus planted dups).  With the cap engaged the mega-cluster is
+    # EXCLUDED from the pair search — all its rows come back keep=True
+    # (dups inside it are not found: the documented honest limit) —
+    # while small clusters still dedup; uncapped (max_cluster=None)
+    # keeps the original exhaustive behaviour.
+    rows = [(i, 0, [float(i), 1.0]) for i in range(90)]          # mega
+    rows += [(100, 1, [1.0, 0.0]), (101, 1, [1.0, 0.0]),          # dup
+             (102, 2, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    got = {r["vec_id"]: r["keep"] for r in
+           semdedup(df, tau=0.9, cluster_col="label",
+                    max_cluster=10).collect()}
+    assert len(got) == 93                       # every row reported
+    assert all(got[i] for i in range(90))       # mega-cluster all kept
+    assert got[100] is True and got[101] is False and got[102] is True
+    # uncapped: near-parallel high-index mega rows DO drop
+    unc = {r["vec_id"]: r["keep"] for r in
+           semdedup(df, tau=0.9, cluster_col="label",
+                    max_cluster=None).collect()}
+    assert not all(unc[i] for i in range(90))
+    assert unc[100] is True and unc[101] is False
+
+
 def test_semdedup_kmeans_path_drops_planted_dups(spark):
     # 20 well-separated base vectors + exact duplicates of 3 of them;
     # k-means clustering must co-locate each dup with its original,
