@@ -411,25 +411,36 @@ def dsir_weights(docs: DataFrame, target: DataFrame, n: int = 2,
             .alias("weight"))
     if impl != "jvm":
         raise ValueError("impl must be 'arrow' or 'jvm'")
+    # LEFT-join the broadcast model onto the exploded grams and
+    # aggregate EVERY document in the one doc-keyed aggregation
+    # (the linear_quality_score shape): the former inner-join +
+    # doc-spine left join-back cost a second scan, a second doc_id
+    # exchange and a join; count/sum skip NULL non-matches, and
+    # explode_outer keeps gram-less documents in the frame (weight 0,
+    # the empty-product convention, exactly as the spine delivered).
     grams = docs.select(
         F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"))
     joined = (grams
               .select(F.col(id_col),
-                      hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+                      # the explode_outer sentinel must stay NULL —
+                      # hash_bucket folds NULL keys into the ""-bucket,
+                      # which would count a phantom gram for gram-less
+                      # documents
+                      F.when(F.col("g").isNotNull(),
+                             hash_bucket(F.col("g"), n_buckets))
+                      .alias("bucket"))
               .join(F.broadcast(ratios.select("bucket",
                                               "logratio_micro")),
-                    on="bucket", how="inner")
+                    on="bucket", how="left")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_grams"),
+              .agg(F.count("logratio_micro").alias("n_grams"),
                    F.sum("logratio_micro").alias("_wm")))
-    spine = docs.select(id_col)
-    return (spine.join(joined, on=id_col, how="left")
-            .select(F.col(id_col),
-                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
-                    .alias("n_grams"),
-                    (F.coalesce(F.col("_wm"), F.lit(0)).cast("double")
-                     / F.lit(1000000.0)).alias("weight")))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.coalesce(F.col("_wm"), F.lit(0)).cast("double")
+         / F.lit(1000000.0)).alias("weight"))
 
 
 def lm_bucket_logprobs(target: DataFrame, n: int = 1,
@@ -511,26 +522,32 @@ def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
             F.when(F.col("n_grams") > 0, ce).alias("cross_entropy"))
     if impl != "jvm":
         raise ValueError("impl must be 'arrow' or 'jvm'")
+    # spine-free aggregation — see dsir_weights' jvm path for the
+    # construction and its equivalence argument
     grams = docs.select(
         F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"))
     joined = (grams
               .select(F.col(id_col),
-                      hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+                      # the explode_outer sentinel must stay NULL —
+                      # hash_bucket folds NULL keys into the ""-bucket,
+                      # which would count a phantom gram for gram-less
+                      # documents
+                      F.when(F.col("g").isNotNull(),
+                             hash_bucket(F.col("g"), n_buckets))
+                      .alias("bucket"))
               .join(F.broadcast(logprobs.select("bucket",
                                                 "logprob_micro")),
-                    on="bucket", how="inner")
+                    on="bucket", how="left")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_grams"),
+              .agg(F.count("logprob_micro").alias("n_grams"),
                    F.sum("logprob_micro").alias("_sm")))
-    spine = docs.select(id_col)
     ce = (-(F.col("_sm").cast("double") / F.lit(1000000.0))
           / F.col("n_grams").cast("double"))
-    return (spine.join(joined, on=id_col, how="left")
-            .select(F.col(id_col),
-                    F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
-                    .alias("n_grams"),
-                    ce.alias("cross_entropy")))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.when(F.col("n_grams") > 0, ce).alias("cross_entropy"))
 
 
 def ccnet_tier_cuts(scored: DataFrame, ce_col: str = "cross_entropy",
