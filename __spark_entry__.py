@@ -63,20 +63,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _conf_bytes(v: str) -> int:
-    """Parse a Spark byte-size conf value ('4194304', '128m', '1g')."""
-    v = v.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    for suf, m in mult.items():
-        if v.endswith(suf + "b"):
-            return int(float(v[:-2]) * m)
-        if v.endswith(suf):
-            return int(float(v[:-1]) * m)
-    if v.endswith("b"):
-        v = v[:-1]
-    return int(v)
-
-
 def _spread(df: DataFrame) -> DataFrame:
     """Scan-parallelism floor for COMPUTE-HEAVY first stages over
     compact inputs (guide §2.5 'input skew: one huge unsplittable file
@@ -95,20 +81,10 @@ def _spread(df: DataFrame) -> DataFrame:
     aggregates) keep the single-task plan, which is faster than paying
     an exchange.  Results are partitioning-independent by design
     (SURVEY.md §7.3 purity), which the oracle gate re-checks."""
-    spark = df.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        split = _conf_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        total = 0
-        for f in df.inputFiles():
-            p = f[len("file:"):] if f.startswith("file:") else f
-            total += os.path.getsize(p)
-    except Exception:
-        return df          # non-local files / no listing → leave as-is
-    if total >= cores * split:
-        return df
-    return df.repartition(cores)
+    from ocr_devnagari_spark.operators.dedup import compact_input
+    if not compact_input(df):
+        return df          # big/unknown input → leave the scan as-is
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _gate_fixture_base(spark: SparkSession, name: str, entry: str) -> str:

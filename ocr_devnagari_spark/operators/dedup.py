@@ -62,6 +62,42 @@ def _materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         df.unpersist()
 
 
+def _conf_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('4194304', '128m', '1g')."""
+    v = v.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suf, m in mult.items():
+        if v.endswith(suf + "b"):
+            return int(float(v[:-2]) * m)
+        if v.endswith(suf):
+            return int(float(v[:-1]) * m)
+    if v.endswith("b"):
+        v = v[:-1]
+    return int(v)
+
+
+def compact_input(df: DataFrame) -> bool:
+    """True iff ``df``'s file inputs cannot split into ≥ cores scan
+    tasks at the session's ``maxPartitionBytes`` — the shared gate for
+    SMALL-INPUT mitigations (scan-parallelism repartition, cheap
+    materialization of a twice-consumed stage).  At real corpus scale
+    this returns False, so gated mitigations are guaranteed no-ops
+    there; unknown/non-local inputs also return False (no listing →
+    assume big, the conservative direction)."""
+    spark = df.sparkSession
+    try:
+        split = _conf_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        total = 0
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            import os
+            total += os.path.getsize(p)
+    except Exception:
+        return False
+    return total < spark.sparkContext.defaultParallelism * split
+
+
 def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 

@@ -127,7 +127,9 @@ def _window_hash_stage(docs: DataFrame, min_len: int, id_col: str,
 def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
                           id_col: str = "doc_id",
                           text_col: str = "text",
-                          impl: str = "arrow") -> DataFrame:
+                          impl: str = "arrow",
+                          materialize_windows: bool | None = None
+                          ) -> DataFrame:
     """Remove every token covered by a duplicated ``min_len``-token
     window (see module docstring for the construction).
 
@@ -150,8 +152,12 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
     Python worker path is unavailable.  The window stream feeds both
     the duplicate groupBy and the join probe: in the cluster regime
     (sort-merge join) both consumers ride one ReusedExchange, so the
-    Arrow stage runs once; the small-input broadcast regime recomputes
-    it, which is exactly when it is cheap.
+    Arrow stage runs once; the small-input broadcast regime would
+    recompute it, so ``materialize_windows=None`` (auto) checkpoints
+    the window table exactly when the input is compact
+    (``dedup.compact_input`` — measured ~35% at sf0.1) and leaves it
+    lazy at scale, where a corpus-tokens-sized checkpoint write is the
+    wrong trade and the exchange reuse already covers it.
 
     Pick ``min_len`` ≈ 50 tokens for real corpora (the paper's
     setting); lower values remove natural repeated phrases, not just
@@ -165,6 +171,12 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
 
     if impl == "arrow":
         wins = _window_hash_stage(docs, min_len, id_col, text_col)
+        if materialize_windows is None:
+            from .dedup import compact_input
+            materialize_windows = compact_input(docs)
+        if materialize_windows:
+            from .dedup import _materialize
+            wins = _materialize(wins)
     else:
         wins = (docs.select(
                     F.col(id_col),
