@@ -1941,8 +1941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted = (e.filter(F.col("vec_id") < 10)
                    .select((F.col("vec_id") + 10000).alias("vec_id"),
                            "label", "embedding"))
+        # max_cluster=None: the DuckDB oracle is the EXHAUSTIVE
+        # within-label pair scan, so the gated query must stay the
+        # uncapped-exact variant at ANY scale factor (the
+        # dedup_jaccard max_df=None precedent); the operator's
+        # default cap is the production-scale path, exercised by the
+        # pathological pytest instead
         return semdedup(e.unionByName(planted), tau=SEMDEDUP_TAU,
-                        cluster_col="label")
+                        cluster_col="label", max_cluster=None)
     q["semdedup_labels"] = semdedup_labels
 
     # ------------------------------------------------------------------

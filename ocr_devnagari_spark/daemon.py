@@ -12,8 +12,16 @@ task of every Python stage starts ~0.6 s earlier and 32 concurrent
 worker spawns don't stampede the CPU with duplicate imports.
 
 Wired up by ``session.get_spark`` via ``spark.python.daemon.module``
-(the documented daemon hook); falls back to stock behaviour if this
-package is not importable on the worker side.
+(the documented daemon hook).  NOTE: PySpark has NO automatic fallback
+— if the configured daemon module cannot be imported by the executor's
+Python, every Python task fails.  ``get_spark`` only builds local-mode
+sessions, where the JVM inherits the driver process's PYTHONPATH (set
+by ``get_spark`` itself), so the import is guaranteed there; when
+submitting against a real cluster either ship the package AND set
+``spark.executorEnv.PYTHONPATH``, or disable the daemon with
+``OCRDS_WORKER_DAEMON=0``.  The try/except below only guards the
+pre-warm imports: a missing pandas must degrade to a stock-speed
+worker, never a dead one.
 """
 
 from __future__ import annotations

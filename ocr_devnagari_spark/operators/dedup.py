@@ -88,8 +88,16 @@ def compact_input(df: DataFrame) -> bool:
     try:
         split = _conf_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        files = df.inputFiles()
+        if not files:
+            # non-file-backed input (LocalRelation, JDBC, views over
+            # non-FS sources): size unknown → assume big, same as the
+            # exception path — an empty listing must NOT read as
+            # "compact" or the mitigations would fire on an unbounded
+            # source
+            return False
         total = 0
-        for f in df.inputFiles():
+        for f in files:
             p = f[len("file:"):] if f.startswith("file:") else f
             import os
             total += os.path.getsize(p)

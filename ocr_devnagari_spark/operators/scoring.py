@@ -168,22 +168,32 @@ def _bucket_memo(n_buckets: int):
     return bucket
 
 
-def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
-                   text_col: str, impl: str = "arrow") -> DataFrame:
-    """(bucket, c) hashed-n-gram counts; at 10^12 rows this is the
-    cheapest possible full-corpus statistic either way.
+def _tagged_bucket_counts(sides: list, n: int, n_buckets: int,
+                          text_col: str, impl: str) -> DataFrame:
+    """(_side, bucket, c) hashed-n-gram counts over ``sides`` =
+    ``[(tag, DataFrame), ...]`` — ONE Spark job however many corpora,
+    the single implementation behind ``_bucket_counts`` (one side) and
+    ``_bucket_counts_pair`` (two): counting logic exists exactly once,
+    so a tokenization/NULL-handling change can never desynchronize the
+    paired DSIR counts from the single-corpus LM counts.
 
     ``impl='arrow'`` pre-aggregates each Arrow batch into a Counter and
-    ships ≤ ``n_buckets`` partial rows per batch — no per-gram row ever
-    exists, and the uncodegen'd gram-building lambda HOF (the
+    ships ≤ sides × ``n_buckets`` partial rows per batch — no per-gram
+    row ever exists, and the uncodegen'd gram-building lambda HOF (the
     repetition family's measured bottleneck) is gone.  ``impl='jvm'``
     keeps the pure-Catalyst explode→groupBy (map-side partial sums);
     both produce identical exact counts."""
+    tagged = None
+    for tag, df in sides:
+        part = df.select(F.lit(int(tag)).alias("_side"), F.col(text_col))
+        tagged = part if tagged is None else tagged.unionByName(part)
     if impl == "jvm":
-        return (df.select(F.explode(
-                    word_ngrams(F.col(text_col), n)).alias("g"))
-                .select(hash_bucket(F.col("g"), n_buckets).alias("bucket"))
-                .groupBy("bucket")
+        return (tagged.select(
+                    "_side",
+                    F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+                .select("_side",
+                        hash_bucket(F.col("g"), n_buckets).alias("bucket"))
+                .groupBy("_side", "bucket")
                 .agg(F.count(F.lit(1)).alias("c")))
     if impl != "arrow":
         raise ValueError("impl must be 'arrow' or 'jvm'")
@@ -195,65 +205,42 @@ def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
         bucket = _bucket_memo(n_buckets)
         for pdf in batches:
             c: Counter = Counter()
-            for text in pdf[text_col]:
+            for side, text in zip(pdf["_side"], pdf[text_col]):
                 if text is None:
                     continue
                 ws = text.split(" ")
                 for i in range(len(ws) - n + 1):
-                    c[bucket(" ".join(ws[i:i + n]))] += 1
-            yield pd.DataFrame({"bucket": list(c.keys()),
-                                "c": list(c.values())})
+                    c[(side, bucket(" ".join(ws[i:i + n])))] += 1
+            yield pd.DataFrame(
+                {"_side": [k[0] for k in c],
+                 "bucket": [k[1] for k in c],
+                 "c": list(c.values())})
 
-    part = df.select(text_col).mapInPandas(run, "bucket long, c long")
-    return part.groupBy("bucket").agg(F.sum("c").alias("c"))
+    return (tagged.mapInPandas(run, "_side int, bucket long, c long")
+            .groupBy("_side", "bucket")
+            .agg(F.sum("c").alias("c")))
+
+
+def _bucket_counts(df: DataFrame, n: int, n_buckets: int,
+                   text_col: str, impl: str = "arrow") -> DataFrame:
+    """(bucket, c) hashed-n-gram counts for one corpus — see
+    ``_tagged_bucket_counts`` for the shared implementation and its
+    scale shape."""
+    return (_tagged_bucket_counts([(0, df)], n, n_buckets, text_col,
+                                  impl)
+            .select("bucket", "c"))
 
 
 def _bucket_counts_pair(a: DataFrame, b: DataFrame, n: int,
                         n_buckets: int, text_col: str,
                         impl: str) -> tuple[dict, dict]:
-    """Bucket-count maps for TWO corpora in ONE Spark job: tag each
-    side, union, count (side, bucket) — halves the job/collect round
-    trips of the sequential two-pass model build (the DSIR ratio needs
-    both distributions anyway).  Exactly the same per-side counts as
-    two ``_bucket_counts`` runs."""
-    tagged = (a.select(F.lit(0).alias("_side"), F.col(text_col))
-              .unionByName(
-                  b.select(F.lit(1).alias("_side"), F.col(text_col))))
-    if impl == "jvm":
-        counts = (tagged.select(
-                      "_side",
-                      F.explode(word_ngrams(F.col(text_col), n))
-                      .alias("g"))
-                  .select("_side",
-                          hash_bucket(F.col("g"), n_buckets)
-                          .alias("bucket"))
-                  .groupBy("_side", "bucket")
-                  .agg(F.count(F.lit(1)).alias("c"))).collect()
-    elif impl == "arrow":
-        def run(batches):
-            from collections import Counter
-
-            import pandas as pd
-            bucket = _bucket_memo(n_buckets)
-            for pdf in batches:
-                c: Counter = Counter()
-                for side, text in zip(pdf["_side"], pdf[text_col]):
-                    if text is None:
-                        continue
-                    ws = text.split(" ")
-                    for i in range(len(ws) - n + 1):
-                        c[(side, bucket(" ".join(ws[i:i + n])))] += 1
-                yield pd.DataFrame(
-                    {"_side": [k[0] for k in c],
-                     "bucket": [k[1] for k in c],
-                     "c": list(c.values())})
-
-        counts = (tagged.mapInPandas(
-                      run, "_side int, bucket long, c long")
-                  .groupBy("_side", "bucket")
-                  .agg(F.sum("c").alias("c"))).collect()
-    else:
-        raise ValueError("impl must be 'arrow' or 'jvm'")
+    """Bucket-count maps for TWO corpora in ONE Spark job — halves the
+    job/collect round trips of the sequential two-pass model build (the
+    DSIR ratio needs both distributions anyway).  Exactly the same
+    per-side counts as two ``_bucket_counts`` runs (same shared
+    implementation)."""
+    counts = _tagged_bucket_counts([(0, a), (1, b)], n, n_buckets,
+                                   text_col, impl).collect()
     amap = {r["bucket"]: r["c"] for r in counts if r["_side"] == 0}
     bmap = {r["bucket"]: r["c"] for r in counts if r["_side"] == 1}
     return amap, bmap
@@ -430,11 +417,15 @@ def dsir_weights(docs: DataFrame, target: DataFrame, n: int = 2,
                       F.when(F.col("g").isNotNull(),
                              hash_bucket(F.col("g"), n_buckets))
                       .alias("bucket"))
-              .join(F.broadcast(ratios.select("bucket",
-                                              "logratio_micro")),
+              .join(F.broadcast(ratios.select("bucket", "logratio_micro")
+                                .withColumn("_m", F.lit(1))),
                     on="bucket", how="left")
               .groupBy(id_col)
-              .agg(F.count("logratio_micro").alias("n_grams"),
+              # count the _m marker, not the value column: a model row
+              # with a NULL micro must still count its matched grams,
+              # exactly as the old inner join did (linear_quality_score
+              # precedent)
+              .agg(F.count("_m").alias("n_grams"),
                    F.sum("logratio_micro").alias("_wm")))
     return joined.select(
         F.col(id_col),
@@ -536,11 +527,13 @@ def lm_cross_entropy(docs: DataFrame, target: DataFrame | None = None,
                       F.when(F.col("g").isNotNull(),
                              hash_bucket(F.col("g"), n_buckets))
                       .alias("bucket"))
-              .join(F.broadcast(logprobs.select("bucket",
-                                                "logprob_micro")),
+              .join(F.broadcast(logprobs.select("bucket", "logprob_micro")
+                                .withColumn("_m", F.lit(1))),
                     on="bucket", how="left")
               .groupBy(id_col)
-              .agg(F.count("logprob_micro").alias("n_grams"),
+              # _m marker for the same NULL-model-value parity as the
+              # dsir path above
+              .agg(F.count("_m").alias("n_grams"),
                    F.sum("logprob_micro").alias("_sm")))
     ce = (-(F.col("_sm").cast("double") / F.lit(1000000.0))
           / F.col("n_grams").cast("double"))

@@ -80,22 +80,25 @@ def curate_docs(df: DataFrame, id_col: str = "doc_id",
         gate = gate & blocklist_pass(text, blockterms)
     gated = df.filter(gate)
     if para_max_docs is not None:
-        from ..operators.dedup import _materialize
+        from ..operators.dedup import _materialize, compact_input
         from ..operators.paragraphs import paragraph_dedup
         # host rides THROUGH the dedup (carry_cols) instead of a
         # join-back against `gated` — the join-back form consumed the
         # gate lineage twice, re-running the Arrow repetition pass
         # (the recipe's most expensive stage) over the whole corpus.
-        # MATERIALIZE the gated rows before the paragraph stage: its
-        # hot-paragraph aggregate and its probe side both consume this
-        # lineage, and without a checkpoint the full gate cascade (the
-        # giant gate expressions + the Arrow repetition pass) executes
-        # TWICE — the round-6 plan audit showed two ArrowEvalPython
-        # nodes over two scans.  The checkpoint carries only the
-        # surviving (id, text, host) rows; at scale that one write is
-        # cheaper than a second full scan + gate pass of the corpus
-        # (guide §3.3: materialise an intermediate consumed twice).
-        gated = _materialize(gated.select(id_col, text_col, host_col))
+        # The paragraph stage still consumes this lineage twice (its
+        # hot-paragraph aggregate and its probe side — the round-6
+        # plan audit showed two ArrowEvalPython nodes over two scans),
+        # so on a COMPACT input the gated (id, text, host) rows are
+        # checkpointed once instead (guide §3.3: materialise an
+        # intermediate consumed twice; measured 5.3 → 3.1 s at sf0.1).
+        # Gated by ``compact_input`` — an eager corpus-sized checkpoint
+        # at construction time is the wrong default at real scale;
+        # there, either accept the second gate pass or write the gated
+        # corpus to a table first (the ANN-index amortization pattern).
+        gated = gated.select(id_col, text_col, host_col)
+        if compact_input(df):
+            gated = _materialize(gated)
         rewritten = paragraph_dedup(
             gated, id_col=id_col,
             text_col=text_col, max_docs=para_max_docs,

@@ -71,11 +71,14 @@ def get_spark(
     # inherit pandas/pyarrow/numpy + the extraction core via
     # copy-on-write instead of importing them per worker (~0.6 s each,
     # and N cold workers otherwise stampede the same cores with
-    # duplicate imports).  Local mode only by default: the JVM child
-    # inherits this process's PYTHONPATH, so the daemon module is
-    # guaranteed importable; on a multi-executor cluster ship the
-    # package with --py-files AND set spark.executorEnv.PYTHONPATH,
-    # then opt in with OCRDS_WORKER_DAEMON=1 (see submit_job.py).
+    # duplicate imports).  ON by default because this factory only
+    # builds local-mode sessions, where the JVM child inherits this
+    # process's PYTHONPATH (set below) and the daemon module import is
+    # guaranteed.  PySpark has NO fallback when a configured daemon
+    # module fails to import on an executor — when submitting against
+    # a real cluster, ship the package AND set
+    # spark.executorEnv.PYTHONPATH, or disable with
+    # OCRDS_WORKER_DAEMON=0 (see daemon.py).
     use_daemon = os.environ.get("OCRDS_WORKER_DAEMON", "1") != "0"
     if use_daemon:
         pkg_parent = os.path.dirname(
