@@ -26,6 +26,7 @@ published MinHash-dedup literature (e.g. the C4/RefinedWeb pipelines).
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,14 +77,27 @@ def _conf_bytes(v: str) -> int:
     return int(v)
 
 
-def compact_input(df: DataFrame) -> bool:
+def compact_input(df: DataFrame, amplification: float = 1.0) -> bool:
     """True iff ``df``'s file inputs cannot split into ≥ cores scan
     tasks at the session's ``maxPartitionBytes`` — the shared gate for
     SMALL-INPUT mitigations (scan-parallelism repartition, cheap
     materialization of a twice-consumed stage).  At real corpus scale
     this returns False, so gated mitigations are guaranteed no-ops
     there; unknown/non-local inputs also return False (no listing →
-    assume big, the conservative direction)."""
+    assume big, the conservative direction).
+
+    ``amplification``: when the thing the caller wants to materialize
+    is LARGER than the input (e.g. a per-token window table at ~8× the
+    text bytes), pass the blow-up factor so the budget applies to the
+    MATERIALIZED size, not the input size — otherwise a default-conf
+    session (128 MB splits × 32 cores = a 4 GB "compact" budget) could
+    judge a multi-GB input compact and eagerly checkpoint tens of GB.
+
+    Known imprecision, deliberate: ``inputFiles`` lists each leaf file
+    once even when the plan scans it several times (self-union /
+    self-join), so the byte budget can err low by that scan factor.
+    The gate guards a cost trade-off, not correctness — a ≤2× budget
+    miss changes wall-clock, never results."""
     spark = df.sparkSession
     try:
         split = _conf_bytes(
@@ -99,11 +113,11 @@ def compact_input(df: DataFrame) -> bool:
         total = 0
         for f in files:
             p = f[len("file:"):] if f.startswith("file:") else f
-            import os
             total += os.path.getsize(p)
     except Exception:
         return False
-    return total < spark.sparkContext.defaultParallelism * split
+    return (total * max(amplification, 1.0)
+            < spark.sparkContext.defaultParallelism * split)
 
 
 def tokens_col(text_col: str = "text"):

@@ -81,6 +81,11 @@ def linear_quality_score(df: DataFrame, weights, bias: float = 0.0,
     under ``BROADCAST_MODEL_LIMIT`` rows; real vocabularies are 10^4-
     10^6 terms, so the broadcast path is the norm — past the limit the
     join falls back to a shuffle hash join on the term.
+
+    One row per DISTINCT ``id_col`` comes out (the scoring family's
+    aggregation contract, shared with dsir_weights/lm_cross_entropy):
+    rows sharing an id — malformed input for a per-document score —
+    aggregate into one.
     """
     spark = df.sparkSession
     if not isinstance(weights, DataFrame):

@@ -173,7 +173,12 @@ def exact_substring_dedup(docs: DataFrame, min_len: int = 50,
         wins = _window_hash_stage(docs, min_len, id_col, text_col)
         if materialize_windows is None:
             from .dedup import compact_input
-            materialize_windows = compact_input(docs)
+            # the window table is ~8× the input text bytes (one
+            # (id, int, 16-byte digest) row per token), so the compact
+            # budget must apply to the MATERIALIZED size — without the
+            # amplification a default-conf 32-core session would judge
+            # a ~4 GB input "compact" and eagerly checkpoint ~30 GB
+            materialize_windows = compact_input(docs, amplification=8.0)
         if materialize_windows:
             from .dedup import _materialize
             wins = _materialize(wins)

@@ -81,6 +81,16 @@ def get_spark(
     # OCRDS_WORKER_DAEMON=0 (see daemon.py).
     use_daemon = os.environ.get("OCRDS_WORKER_DAEMON", "1") != "0"
     if use_daemon:
+        # the PYTHONPATH export below only reaches the worker daemon if
+        # the JVM launches AFTER this function patches the environment —
+        # a JVM gateway already launched by some other session factory
+        # froze its env snapshot without the repo root, and a daemon
+        # module that fails to import kills every Python task (no
+        # fallback).  With a live gateway, fall back to the stock daemon.
+        from pyspark import SparkContext
+        if SparkContext._gateway is not None:
+            use_daemon = False
+    if use_daemon:
         pkg_parent = os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))
         pp = os.environ.get("PYTHONPATH", "")
@@ -100,6 +110,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.driver.memory", os.environ.get("OCRDS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # reliable checkpoint files (the _materialize cluster path) are
+        # NOT removed by default; with the cleaner on, a checkpointed
+        # intermediate whose DataFrame goes out of scope also releases
+        # its files — long-lived sessions that construct gate queries
+        # repeatedly would otherwise accumulate them unboundedly
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
     )
     if use_daemon:
         builder = builder.config("spark.python.daemon.module",

@@ -4,6 +4,64 @@ the primary correctness gate (BASELINE.json: byte-identical text per url).
 
 from __future__ import annotations
 
+import pytest
+
+
+HOSTILE_MARKUP = [
+    "",
+    "plain text only",
+    "a < b and c<d<e",
+    "<p>unclosed",
+    "<P CLASS='Nav sideBar'>mixed case attrs</p>",
+    '<div class="a" id=\'b\' data-x=">">quoted > inside attr</div>',
+    "<script>if (a<b) { x = '</div>'; }</script>after",
+    "<SCRIPT>upper close</SCRIPT>tail",
+    "<script>never closed raw text",
+    "<style>p { content: '<'; }</style>s",
+    "<textarea><p>not a tag</p></textarea>done",
+    "<!-- comment <p>inside</p> -->x",
+    "<!-- unterminated comment <p>y</p>",
+    "<!DOCTYPE html><?xml version='1.0'?><p>z</p>",
+    "<?php echo '<p>'; ?>w",
+    "<br/><img src=x/><p/>v",
+    "text &amp; entities &lt;kept&gt; &#65;",
+    "<a href='x'>link</a> & <b>bold</b>",
+    "<!bang no gt",
+    "<",
+    "tail<",
+    "<1notatag>u",
+    "<p><p><p>nested blocks",
+    "<td>cell</td></tr></table>stray closers",
+]
+
+
+def test_materialize_events_matches_generator_tokenizer():
+    """The list-building tokenizer twin must stay event-for-event
+    identical to the generator (it IS the spec) — including rawtext
+    skips, unterminated comments, bare '<', '<!'/'<?' dispatch and
+    mixed-case close tags."""
+    from ocr_devnagari_spark.extract_core import (
+        iter_html_events,
+        materialize_events,
+    )
+    import random
+    import string
+
+    cases = list(HOSTILE_MARKUP)
+    rng = random.Random(42)
+    frags = ["<p>", "</p>", "<div class='ad'>", "</div>", "text ",
+             "<script>", "</script>", "<!--", "-->", "&amp;", "<",
+             ">", "'", '"', "<br/>", "<a href='u'>", "</a>",
+             "<!doctype>", "<?pi?>", "॥ 1 ॥ ॐ "]
+    for _ in range(300):
+        cases.append("".join(rng.choice(frags)
+                             for _ in range(rng.randint(1, 40))))
+    for _ in range(100):
+        cases.append("".join(rng.choice(string.printable)
+                             for _ in range(rng.randint(0, 120))))
+    for h in cases:
+        assert list(iter_html_events(h)) == materialize_events(h), h
+
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
