@@ -180,7 +180,10 @@ def stream_heavy_hitters(
     as the non-NULL values of the max-``n_shard`` rows.  An exact
     recount — the batch operator's pass 2 — can then run over the
     committed table against the emitted candidates when exact counts
-    are needed.
+    are needed; size that join the way ``functions/sketches.py
+    heavy_hitters`` does (candidates ≤ shards×k: broadcast under the
+    counted/bounded gate, plain left-semi shuffle join past it — never
+    an unconditional broadcast of a partition-count-proportional set).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
